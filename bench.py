@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""North-star benchmark: SU(3) 32^4 heat-bath sweep throughput (one chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "link-updates/s/chip", "vs_baseline": N}
+
+Baseline note (BASELINE.md): the reference repo mount is empty and
+BASELINE.json carries no published numbers, so vs_baseline is computed
+against a DOCUMENTED ESTIMATE of the reference-era GPU throughput for
+SU(3) heat-bath, 1.0e9 link-updates/s (2013 high-end OpenCL GPUs are
+memory-bound on the ~300 MB link field at ~250 GB/s; QCDGPU paper-scale
+numbers are of this order).  Replace with the real number the moment the
+reference becomes available.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_LINK_UPDATES_PER_S = 1.0e9  # documented estimate, see module docstring
+
+DIMS = (32, 32, 32, 32)
+WARM_SWEEPS = 5
+BENCH_SWEEPS = 20
+
+
+def main():
+    from qcdgpu_tpu import SimConfig, Simulation
+    from qcdgpu_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    cfg = SimConfig(
+        group=3,
+        dims=DIMS,
+        beta=6.0,
+        algorithm="heatbath",
+        n_or=0,
+        reunit_every=10,
+        seed=0,
+        start="cold",
+    )
+    sim = Simulation(cfg)
+    # compile + warm (same static chunk size as the timed run)
+    sim.thermalize(BENCH_SWEEPS)
+    sim.u.block_until_ready()
+    t0 = time.perf_counter()
+    sim.thermalize(BENCH_SWEEPS)
+    sim.u.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    n_links = 4 * cfg.volume
+    value = n_links * BENCH_SWEEPS / dt
+    out = {
+        "metric": "SU(3) 32^4 heat-bath link-updates/s/chip",
+        "value": round(value),
+        "unit": "link-updates/s/chip",
+        "vs_baseline": round(value / BASELINE_LINK_UPDATES_PER_S, 4),
+        "detail": {
+            "sweeps": BENCH_SWEEPS,
+            "seconds": round(dt, 4),
+            "ms_per_sweep": round(1e3 * dt / BENCH_SWEEPS, 3),
+            "plaquette": float(sim.measure()["plq"]),
+            "baseline_note": "estimated reference GPU 1.0e9 lu/s (see docstring)",
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

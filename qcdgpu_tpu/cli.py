@@ -1,0 +1,228 @@
+"""Command-line driver — the L5 layer (QCDGPU.cpp's main() equivalent).
+
+Capability parity with the reference driver (SURVEY.md §2 "Driver/CLI"):
+run parameters from an init file (TOML here) with command-line overrides,
+cold/hot/continue start modes, results file + checkpoint output, timing
+report.  Subcommands:
+
+  run     one Markov chain (thermalize + production + analysis + report)
+  resume  continue a chain bit-exactly from a checkpoint
+  scan    beta scan: an ensemble of chains, one per beta (vmapped)
+  info    device/backend report
+
+Example:
+  python -m qcdgpu_tpu run --group 3 --dims 8,8,8,8 --beta 6.0 \
+      --algorithm heatbath --n-or 1 --therm 300 --sweeps 500 --out out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _parse_dims(s: str):
+    parts = [int(x) for x in s.replace("x", ",").split(",")]
+    if len(parts) == 1:
+        parts = parts * 4
+    if len(parts) != 4:
+        raise argparse.ArgumentTypeError("dims must be L or X,Y,Z,T")
+    return tuple(parts)
+
+
+def _parse_betas(s: str):
+    """'5.6:6.0:9' -> 9 evenly spaced; or comma list '5.6,5.8,6.0'."""
+    if ":" in s:
+        lo, hi, n = s.split(":")
+        lo, hi, n = float(lo), float(hi), int(n)
+        return [lo + (hi - lo) * i / max(n - 1, 1) for i in range(n)]
+    return [float(x) for x in s.split(",")]
+
+
+def _add_run_args(p: argparse.ArgumentParser):
+    p.add_argument("--config", help="TOML/JSON init file with run parameters")
+    p.add_argument("--group", type=int, help="gauge group N (2 or 3)")
+    p.add_argument("--dims", type=_parse_dims, help="lattice size L or X,Y,Z,T")
+    p.add_argument("--beta", type=float, help="coupling")
+    p.add_argument("--algorithm", choices=["heatbath", "metropolis"])
+    p.add_argument("--n-or", type=int, dest="n_or",
+                   help="overrelaxation sweeps per update sweep")
+    p.add_argument("--n-hit", type=int, dest="n_hit", help="Metropolis hits")
+    p.add_argument("--kp-trials", type=int, dest="kp_trials")
+    p.add_argument("--start", choices=["cold", "hot"])
+    p.add_argument("--therm", type=int, dest="sweeps_therm")
+    p.add_argument("--sweeps", type=int)
+    p.add_argument("--meas-every", type=int, dest="meas_every")
+    p.add_argument("--reunit-every", type=int, dest="reunit_every")
+    p.add_argument("--seed", type=int)
+    p.add_argument("--dtype", choices=["complex64", "complex128"])
+    p.add_argument("--mesh", type=_parse_dims,
+                   help="device mesh over X,Y,Z,T (e.g. 1,1,2,4)")
+    p.add_argument("--out", default="results", help="output directory")
+
+
+def _load_config_file(path: str) -> dict:
+    with open(path, "rb") as f:
+        if path.endswith(".json"):
+            return json.load(f)
+        import tomllib
+
+        return tomllib.load(f)
+
+
+def _build_config(args) -> "SimConfig":
+    from .config import SimConfig
+
+    d = {}
+    if args.config:
+        d.update(_load_config_file(args.config))
+    for k in ("group", "dims", "beta", "algorithm", "n_or", "n_hit",
+              "kp_trials", "start", "sweeps_therm", "sweeps", "meas_every",
+              "reunit_every", "seed", "dtype", "mesh"):
+        v = getattr(args, k, None)
+        if v is not None:
+            d[k] = v
+    if "dims" in d:
+        d["dims"] = tuple(d["dims"])
+    if "mesh" in d:
+        d["mesh"] = tuple(d["mesh"])
+    return SimConfig(**d)
+
+
+def _finish_run(sim, args, timings):
+    from .utils import report
+
+    os.makedirs(args.out, exist_ok=True)
+    analysis = sim.analysis()
+    series = None
+    if sim.obs_history:
+        import numpy as np
+
+        series = np.concatenate(sim.obs_history, axis=0)
+    rec = report.build_record(sim.cfg, analysis, timings, series=series)
+    base = os.path.join(args.out, "results")
+    report.write_json(base + ".json", rec)
+    report.write_text(base + ".txt", rec)
+    ckpt = os.path.join(args.out, "state.npz")
+    sim.save(ckpt)
+    print(report.format_text(rec))
+    print(f"wrote {base}.txt, {base}.json, {ckpt}")
+
+
+def cmd_run(args):
+    from .parallel.mesh import mesh_for_config, shard_links
+    from .sim import Simulation
+
+    cfg = _build_config(args)
+    sim = Simulation(cfg)
+    mesh = mesh_for_config(cfg)
+    if mesh is not None:
+        sim.u = shard_links(sim.u, mesh)
+    timings = {}
+    t0 = time.time()
+    sim.thermalize()
+    timings["thermalize_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    sim.run()
+    timings["production_s"] = round(time.time() - t0, 3)
+    n_link_updates = (1 + cfg.n_or) * cfg.n_links * (cfg.sweeps + cfg.sweeps_therm)
+    timings["link_updates_per_s"] = round(
+        n_link_updates / max(timings["thermalize_s"] + timings["production_s"], 1e-9)
+    )
+    _finish_run(sim, args, timings)
+
+
+def cmd_resume(args):
+    from .sim import Simulation
+
+    sim = Simulation.load(args.checkpoint)
+    t0 = time.time()
+    sim.run(args.sweeps)
+    timings = {"production_s": round(time.time() - t0, 3)}
+    _finish_run(sim, args, timings)
+
+
+def cmd_scan(args):
+    import numpy as np
+
+    from .models.ensemble import BetaScan
+    from .utils import report
+    from .utils.stats import analyze_series
+
+    cfg = _build_config(args)
+    betas = _parse_betas(args.betas)
+    scan = BetaScan(cfg, betas)
+    t0 = time.time()
+    scan.thermalize()
+    obs = scan.run()  # [C, n_meas, n_obs]
+    timings = {"total_s": round(time.time() - t0, 3)}
+    os.makedirs(args.out, exist_ok=True)
+    from .ops.measure import OBS_NAMES
+
+    rows = []
+    for c, b in enumerate(betas):
+        row = {"beta": b}
+        for k, name in enumerate(OBS_NAMES):
+            st = analyze_series(obs[c, :, k])
+            row[name] = st.mean
+            row[name + "_err"] = st.err
+        rows.append(row)
+    rec = {
+        "config": cfg.to_dict(),
+        "device": report.device_info(),
+        "timings": timings,
+        "scan": rows,
+    }
+    path = os.path.join(args.out, "scan.json")
+    report.write_json(path, rec)
+    hdr = f"{'beta':>8} {'plq':>10} {'|poly|':>10} {'poly_re':>10}"
+    print(hdr)
+    for r in rows:
+        poly_abs = (r["poly_re"] ** 2 + r["poly_im"] ** 2) ** 0.5
+        print(f"{r['beta']:8.4f} {r['plq']:10.6f} {poly_abs:10.6f} "
+              f"{r['poly_re']:10.6f}")
+    print(f"wrote {path}")
+
+
+def cmd_info(args):
+    from .utils import report
+
+    print(json.dumps(report.device_info(), indent=1))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="qcdgpu_tpu", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="run one Markov chain")
+    _add_run_args(p)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("resume", help="resume from a checkpoint")
+    p.add_argument("checkpoint")
+    p.add_argument("--sweeps", type=int, default=None)
+    p.add_argument("--out", default="results")
+    p.set_defaults(fn=cmd_resume)
+
+    p = sub.add_parser("scan", help="beta scan (vmapped ensemble)")
+    _add_run_args(p)
+    p.add_argument("--betas", required=True,
+                   help="lo:hi:n or comma list, e.g. 5.6:6.1:11")
+    p.set_defaults(fn=cmd_scan)
+
+    p = sub.add_parser("info", help="device/backend info")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

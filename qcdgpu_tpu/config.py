@@ -1,0 +1,85 @@
+"""Frozen run configuration.
+
+One immutable dataclass replaces QCDGPU's three config tiers (compile-time
+#defines string-pasted into OpenCL source + init file + argv overrides;
+SURVEY.md §5.6): every field is either a static argument of the jit-ed step
+(XLA specializes on it, which is what the #define pasting achieved) or a
+plain runtime scalar.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    # --- physics ---------------------------------------------------------
+    group: int = 3  # N of SU(N); 2 or 3
+    dims: Tuple[int, int, int, int] = (8, 8, 8, 8)  # (X, Y, Z, T)
+    beta: float = 6.0
+
+    # --- algorithm -------------------------------------------------------
+    algorithm: str = "heatbath"  # "heatbath" | "metropolis"
+    n_or: int = 0  # overrelaxation sweeps appended to each update sweep
+    kp_trials: int = 4  # fixed KP trial count (see samplers.kp_trial_quat)
+    n_hit: int = 3  # Metropolis hits per subgroup touch
+    metro_delta: float = 0.35  # Metropolis proposal spread
+
+    # --- run schedule ----------------------------------------------------
+    start: str = "cold"  # "cold" | "hot" | "continue"
+    sweeps_therm: int = 100  # ITER/NITER analogue: thermalization sweeps
+    sweeps: int = 400  # production sweeps
+    meas_every: int = 1  # measure every k-th production sweep
+    reunit_every: int = 10  # reunitarize every k-th sweep (0 = never)
+
+    # --- numerics --------------------------------------------------------
+    seed: int = 0
+    dtype: str = "complex64"  # "complex64" | "complex128"
+
+    # --- parallel --------------------------------------------------------
+    # mesh axis sizes over the lattice site axes (X, Y, Z, T); 1 = unsharded.
+    mesh: Tuple[int, int, int, int] = (1, 1, 1, 1)
+
+    def __post_init__(self):
+        if self.group not in (2, 3):
+            raise ValueError("group must be 2 or 3")
+        if len(self.dims) != 4:
+            raise ValueError("dims must be a 4-tuple (X, Y, Z, T)")
+        if self.algorithm not in ("heatbath", "metropolis"):
+            raise ValueError(f"unknown algorithm {self.algorithm!r}")
+        if self.start not in ("cold", "hot", "continue"):
+            raise ValueError(f"unknown start {self.start!r}")
+        for d, m in zip(self.dims, self.mesh):
+            if d % (2 * m) != 0:
+                raise ValueError(
+                    f"each dim must be even per mesh shard (dims={self.dims}, "
+                    f"mesh={self.mesh}) so the checkerboard tiles cleanly"
+                )
+
+    # -- helpers ----------------------------------------------------------
+    @property
+    def volume(self) -> int:
+        v = 1
+        for d in self.dims:
+            v *= d
+        return v
+
+    @property
+    def n_links(self) -> int:
+        return 4 * self.volume
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "SimConfig":
+        d = dict(d)
+        d["dims"] = tuple(d["dims"])
+        d["mesh"] = tuple(d.get("mesh", (1, 1, 1, 1)))
+        return cls(**d)

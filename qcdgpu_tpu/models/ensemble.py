@@ -1,0 +1,103 @@
+"""Ensemble (replica) axis: many independent Markov chains in one program.
+
+QCDGPU runs one chain per process; a beta-scan (e.g. the finite-T
+deconfinement scan, BASELINE config 3) is a shell loop.  On TPU the ensemble
+is a free vmap axis over (links, beta, key): the 8 stage kernels batch
+across chains, so a whole beta grid costs one kernel launch per stage
+(SURVEY.md §2 "Ensemble / replica parallelism").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..ops import rng
+from ..ops.measure import OBS_NAMES, measure_all
+from ..sim import cold_start, hot_start, make_sweep_fn
+
+
+def make_ensemble_runner(cfg: SimConfig):
+    """Runner over C chains with per-chain beta.
+
+    Returns run(us [C, ...], betas [C], keys [C, 2], sweep0, n_sweeps,
+    measure_every) -> (us', obs [C, n_meas, n_obs]).
+
+    The per-chain beta must enter the sweep as a traced value, so the sweep
+    function is built with beta baked out and passed through.
+    """
+    sweep = make_sweep_fn_beta(cfg)
+
+    @partial(jax.jit, static_argnums=(4, 5))
+    def run(us, betas, keys, sweep0, n_sweeps, measure_every):
+        def one_chain(u, beta, key):
+            def sweeps_only(u, first, count):
+                return jax.lax.fori_loop(
+                    0, count, lambda i, u: sweep(u, key, first + i, beta), u
+                )
+
+            if not measure_every:
+                u = sweeps_only(u, sweep0, n_sweeps)
+                return u, jnp.zeros((0, len(OBS_NAMES)), jnp.float32)
+
+            n_blocks = n_sweeps // measure_every
+            rem = n_sweeps - n_blocks * measure_every
+
+            def block(u, b):
+                u = sweeps_only(u, sweep0 + b * measure_every, measure_every)
+                return u, measure_all(u)
+
+            u, obs = jax.lax.scan(block, u, jnp.arange(n_blocks))
+            if rem:
+                u = sweeps_only(u, sweep0 + n_blocks * measure_every, rem)
+            return u, obs
+
+        return jax.vmap(one_chain)(us, betas, keys)
+
+    return run
+
+
+def make_sweep_fn_beta(cfg: SimConfig):
+    """sim.make_sweep_fn's sweep already accepts a traced beta override."""
+    return make_sweep_fn(cfg)
+
+
+class BetaScan:
+    """Finite-T / coupling scan: one chain per beta on a shared lattice.
+
+    The Polyakov-loop series across the beta grid locates the deconfinement
+    transition (BASELINE config 3: 24^3 x 6 across a beta grid).
+    """
+
+    def __init__(self, cfg: SimConfig, betas):
+        self.cfg = cfg
+        self.betas = jnp.asarray(np.asarray(betas, np.float32))
+        c = len(betas)
+        keys = [rng.make_base_key(cfg.seed + 1000 * i) for i in range(c)]
+        self.keys = jnp.stack(keys)
+        if cfg.start == "hot":
+            us = [hot_start(cfg, self.keys[i]) for i in range(c)]
+            self.us = jnp.stack(us)
+        else:
+            u0 = cold_start(cfg)
+            self.us = jnp.broadcast_to(u0, (c,) + u0.shape)
+        self._run = make_ensemble_runner(cfg)
+        self.sweep_idx = 0
+
+    def thermalize(self, n=None):
+        n = self.cfg.sweeps_therm if n is None else n
+        self.us, _ = self._run(self.us, self.betas, self.keys, self.sweep_idx, n, 0)
+        self.sweep_idx += n
+        return self
+
+    def run(self, n=None, measure_every=1):
+        n = self.cfg.sweeps if n is None else n
+        self.us, obs = self._run(
+            self.us, self.betas, self.keys, self.sweep_idx, n, measure_every
+        )
+        self.sweep_idx += n
+        return np.asarray(obs)  # [C, n_meas, n_obs]

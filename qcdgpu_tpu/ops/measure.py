@@ -1,0 +1,96 @@
+"""On-device observables: mean plaquette, Wilson action, Polyakov loop.
+
+All reductions happen on device inside the jit-ed step (XLA fuses the
+plaquette products into the reduction); the host only ever sees a handful of
+scalars per measurement — the TPU equivalent of QCDGPU's workgroup
+tree-reduction measurement kernels (kernel/su*_measurements_cl.cl,
+su*_polyakov_cl.cl; SURVEY.md §2 "Measurement kernels").
+
+Observable vector layout (see OBS_NAMES):
+  plq      — mean plaquette (1/N) Re tr P, averaged over all 6 planes
+  plq_s    — spatial planes only (xy, xz, yz)
+  plq_t    — temporal planes only (xt, yt, zt)
+  action   — Wilson action density S / (beta * 6 * V) = 1 - plq
+  poly_re  — Re of the volume-averaged Polyakov loop (1/N normalized)
+  poly_im  — Im of the same
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .lattice import NDIM, shift
+from .sun import dagger, mul, retrace, trace
+
+OBS_NAMES = ("plq", "plq_s", "plq_t", "action", "poly_re", "poly_im")
+TIME_AXIS = 3  # mu index of the temporal direction
+
+
+def plaquette_retrace(u, mu, nu):
+    """Re tr P_{mu,nu}(x) field: [*site_dims]."""
+    a = mul(u[mu], shift(u[nu], mu, +1))
+    b = mul(u[nu], shift(u[mu], nu, +1))
+    return retrace(mul(a, dagger(b)))
+
+
+def mean_plaquette(u):
+    """(plq_total, plq_spatial, plq_temporal) scalars."""
+    n = u.shape[1]
+    s_sum = 0.0
+    t_sum = 0.0
+    for mu in range(NDIM):
+        for nu in range(mu + 1, NDIM):
+            p = jnp.mean(plaquette_retrace(u, mu, nu)) / n
+            if nu == TIME_AXIS:
+                t_sum = t_sum + p
+            else:
+                s_sum = s_sum + p
+    return (s_sum + t_sum) / 6.0, s_sum / 3.0, t_sum / 3.0
+
+
+def polyakov_loop(u):
+    """Volume-averaged Polyakov loop (complex), 1/N-normalized.
+
+    L(xvec) = (1/N) tr prod_t U_t(xvec, t); returns mean over space.
+
+    The time product is a log-depth pairwise tree with static slicing —
+    a sequential fori_loop with dynamic last-axis indexing compiled
+    pathologically slowly on TPU and serializes T matmuls where log2(T)
+    batched ones suffice.
+    """
+    ut = u[TIME_AXIS]  # [N, N, X, Y, Z, T]
+    n = ut.shape[0]
+    p = jnp.moveaxis(ut, -1, 0)  # [T, N, N, X, Y, Z]
+
+    def pairmul(a, b):
+        return jnp.einsum(
+            "aij...,ajk...->aik...", a, b, precision=jax.lax.Precision.HIGHEST
+        )
+
+    while p.shape[0] > 1:
+        odd = p.shape[0] % 2 == 1
+        last = p[-1] if odd else None
+        q = p[:-1] if odd else p
+        p = pairmul(q[0::2], q[1::2])
+        if last is not None:  # fold the trailing factor into the last product
+            p = p.at[-1].set(mul(p[-1], last))
+    loop = trace(p[0]) / n  # [X, Y, Z]
+    return jnp.mean(jnp.real(loop)), jnp.mean(jnp.imag(loop))
+
+
+def measure_all(u):
+    """The standard observable vector (see OBS_NAMES), as a length-6 array."""
+    plq, plq_s, plq_t = mean_plaquette(u)
+    pre, pim = polyakov_loop(u)
+    action = 1.0 - plq
+    return jnp.stack(
+        [
+            jnp.float32(plq),
+            jnp.float32(plq_s),
+            jnp.float32(plq_t),
+            jnp.float32(action),
+            jnp.float32(pre),
+            jnp.float32(pim),
+        ]
+    )

@@ -1,0 +1,197 @@
+"""Link-update samplers: heat-bath, overrelaxation, Metropolis.
+
+Unified Cabibbo–Marinari form
+-----------------------------
+Every update left-multiplies the link by an SU(2)-subgroup element:
+
+    U' = embed(u; i, j) @ U,   u in SU(2),
+
+with the conditional weight P(u) ~ exp((beta/N) Re tr(u_emb W)),  W = U @ A
+(A = staple sum).  Only the projected quaternion q(W; i, j) of the (i, j)
+block matters: Re tr(u_emb W) = 2 * (u * q)_0 + const.  For SU(2) the single
+subgroup (0, 1) is the whole group and the "subgroup" update IS an exact
+heat-bath / overrelaxation / Metropolis of the link — so one codepath serves
+both gauge groups (QCDGPU splits these into su2_update_cl.cl and
+su3_update_cl.cl; SURVEY.md §2 "Update kernels").
+
+Kennedy–Pendleton on SIMD
+-------------------------
+KP is an accept/reject loop; TPUs need fixed trip counts.  We run K trials
+for every site in parallel, select the first accepted, and on total failure
+return the identity (keep the old link).  This is *exactly* correct, not
+approximate: the failure event depends only on (A, trial uniforms), never on
+the current link, so the resulting kernel is the state-independent mixture
+  (1 - eps(A)) * heatbath + eps(A) * identity,
+and each component preserves the target distribution.  eps ~ (reject rate)^K
+is ~1e-6 at the couplings of interest for K = 4 (SURVEY.md §7 "Hard parts" #1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import rng, sun
+
+TWO_PI = np.float32(2.0 * np.pi)
+
+
+def kp_trial_quat(a, utr, udir, eps=1e-10):
+    """Kennedy–Pendleton sample of w in SU(2) with P(w) ~ exp(a * w0) dw.
+
+    a:    [*sites] > 0 coefficient (= 2*beta*k/N).
+    utr:  [K, 4, *sites] uniforms in (0,1) — K trials x (r1, r2, r3, r_acc).
+    udir: [2, *sites] uniforms for the uniform S^2 direction of the vector
+          part.
+    Returns (w [4, *sites], ok [*sites] bool).
+    """
+    inv2a = 1.0 / (2.0 * jnp.maximum(a, eps))
+    r1, r2, r3, r4 = utr[:, 0], utr[:, 1], utr[:, 2], utr[:, 3]
+    c = jnp.cos(TWO_PI * r2)
+    lam2 = -inv2a * (jnp.log(r1) + c * c * jnp.log(r3))  # [K, *sites]
+    acc = (r4 * r4) <= (1.0 - lam2)
+    # first accepted trial (argmax picks the first True)
+    idx = jnp.argmax(acc, axis=0)
+    ok = jnp.any(acc, axis=0)
+    lam2_sel = jnp.take_along_axis(lam2, idx[None], axis=0)[0]
+    x0 = 1.0 - 2.0 * lam2_sel
+    x0 = jnp.clip(x0, -1.0, 1.0)
+    rho = jnp.sqrt(jnp.maximum(1.0 - x0 * x0, 0.0))
+    ct = 2.0 * udir[0] - 1.0
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    ph = TWO_PI * udir[1]
+    w = jnp.stack([x0, rho * st * jnp.cos(ph), rho * st * jnp.sin(ph), rho * ct], axis=0)
+    return w, ok
+
+
+def kp_uniforms_per_subgroup(k_trials: int) -> int:
+    return 4 * k_trials + 2
+
+
+def heatbath_flip(q_w, two_beta_over_n, u, k_trials):
+    """Sample the left-multiplier u for one subgroup heat-bath touch.
+
+    q_w: projected quaternion of the W block, [4, *sites].
+    u: pre-drawn uniforms [4*k_trials + 2, *sites].
+    Returns u [4, *sites] with u = identity where KP exhausted its trials.
+    """
+    k = sun.quat_norm(q_w)
+    safe_k = jnp.maximum(k, 1e-30)
+    v = q_w / safe_k
+    a = two_beta_over_n * k
+    utr = u[: 4 * k_trials].reshape((k_trials, 4) + u.shape[1:])
+    udir = u[4 * k_trials :]
+    w, ok = kp_trial_quat(a, utr, udir)
+    unew = sun.quat_mul(w, sun.quat_conj(v))
+    ident = _identity_quat_like(unew)
+    # degenerate staple (k ~ 0): heat-bath is uniform on the subgroup — w
+    # itself is then a valid draw only in the a->0 limit; keep identity for
+    # safety (measure-zero event in practice).
+    good = ok & (k > 1e-30)
+    return jnp.where(good[None], unew, ident)
+
+
+def overrelax_flip(q_w):
+    """Microcanonical overrelaxation multiplier u = (v^+)^2, v = q_w/|q_w|.
+
+    Re tr(u_emb W) is exactly preserved; the move maximally decorrelates the
+    subgroup angle.  Zero RNG cost.
+    """
+    k = sun.quat_norm(q_w)
+    v = q_w / jnp.maximum(k, 1e-30)
+    vconj = sun.quat_conj(v)
+    u = sun.quat_mul(vconj, vconj)
+    ident = _identity_quat_like(u)
+    return jnp.where((k > 1e-30)[None], u, ident)
+
+
+METRO_UNIFORMS_PER_HIT = 4
+
+
+def metropolis_flip(q_w, two_beta_over_n, uu, n_hit, delta):
+    """NHIT Metropolis touches on one subgroup.
+
+    Proposal: u = normalize(1, delta*(2r-1), delta*(2r-1), delta*(2r-1)) —
+    symmetric under u -> u^+.  Accept with min(1, exp(dS)), where
+    dS = (beta/N) * (Re tr(u_emb W) - Re tr(W)) = two_beta_over_n * ((u*q)_0 - q_0).
+    uu: pre-drawn uniforms [4*n_hit, *sites].
+    Returns the composed multiplier after n_hit hits.
+    """
+    acc_u = _identity_quat_like(q_w)
+    q_cur = q_w
+    for h in range(n_hit):
+        u = uu[4 * h : 4 * (h + 1)]
+        w1 = delta * (2.0 * u[0] - 1.0)
+        w2 = delta * (2.0 * u[1] - 1.0)
+        w3 = delta * (2.0 * u[2] - 1.0)
+        w0 = jnp.ones_like(w1)
+        nrm = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2 + w3 * w3)
+        w = jnp.stack([w0, w1, w2, w3], axis=0) / nrm
+        # dS_local in log-prob form
+        new0 = sun.quat_mul(w, q_cur)[0]
+        dlp = two_beta_over_n * (new0 - q_cur[0])
+        accept = jnp.log(u[3]) < dlp
+        w_eff = jnp.where(accept[None], w, _identity_quat_like(q_cur))
+        acc_u = sun.quat_mul(w_eff, acc_u)
+        q_cur = sun.quat_mul(w_eff, q_cur)
+    return acc_u
+
+
+def _identity_quat_like(q):
+    ident = jnp.zeros_like(q)
+    return ident.at[0].set(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Full-link updates (sweep one (parity-masked) link field through subgroups)
+# ---------------------------------------------------------------------------
+
+
+def update_links(
+    u_mu,
+    staples,
+    kind,
+    beta,
+    key2,
+    site_idx,
+    *,
+    k_trials=4,
+    n_hit=3,
+    metro_delta=0.35,
+):
+    """Apply one update of ``kind`` to every link in u_mu given its staples.
+
+    u_mu, staples: [N, N, *sites];  kind in {"heatbath", "overrelax",
+    "metropolis"}.  Caller is responsible for parity masking.
+    """
+    n = u_mu.shape[0]
+    two_beta_over_n = jnp.asarray(2.0 * beta / n, jnp.float32)
+    w = sun.mul(u_mu, staples)
+    sgs = sun.subgroups(n)
+    # one batched RNG draw per stage covering every subgroup (graph size)
+    if kind == "heatbath":
+        per = kp_uniforms_per_subgroup(k_trials)
+    elif kind == "metropolis":
+        per = METRO_UNIFORMS_PER_HIT * n_hit
+    else:
+        per = 0
+    # keep the per-subgroup slot layout stable regardless of `per` parity
+    per_slots = (per + 1) // 2
+    if per:
+        u_all = rng.site_uniforms(key2, site_idx, 2 * per_slots * len(sgs))
+    for s, (i, j) in enumerate(sgs):
+        q_w = sun.extract_block_quat(w, i, j)
+        if kind == "heatbath":
+            u_s = u_all[2 * per_slots * s : 2 * per_slots * s + per]
+            flip = heatbath_flip(q_w, two_beta_over_n, u_s, k_trials)
+        elif kind == "overrelax":
+            flip = overrelax_flip(q_w)
+        elif kind == "metropolis":
+            u_s = u_all[2 * per_slots * s : 2 * per_slots * s + per]
+            flip = metropolis_flip(q_w, two_beta_over_n, u_s, n_hit, metro_delta)
+        else:
+            raise ValueError(f"unknown update kind: {kind}")
+        flip = flip.astype(jnp.real(u_mu).dtype)
+        u_mu = sun.subgroup_left_mul(flip, i, j, u_mu)
+        w = sun.subgroup_left_mul(flip, i, j, w)
+    return u_mu

@@ -1,0 +1,86 @@
+"""Domain decomposition over a jax.sharding.Mesh (the "BIG_LATTICE" path).
+
+QCDGPU splits the lattice into slabs across OpenCL devices and moves halo
+link layers through host memory between half-sweeps (SURVEY.md §2
+"Multi-device decomposition", §5.8).  The TPU-native design needs none of
+that machinery: the link field carries a NamedSharding over up to 4 mesh
+axes mapped to the lattice site axes, and XLA's SPMD partitioner turns the
+`jnp.roll` neighbor gathers inside the jit-ed sweep into collective-permutes
+of one-site-deep boundary slices over ICI — halo exchange, fused into the
+compute, derived automatically from the same single-chip program.
+
+Because the RNG is keyed by *global* site index (ops/rng.py), the sharded
+and unsharded Markov chains are bit-identical in the link field (per-link
+updates contain no cross-site floating-point reductions).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SimConfig
+
+# mesh axis names, one per lattice site axis (X, Y, Z, T)
+AXES = ("x", "y", "z", "t")
+
+
+def make_mesh(mesh_shape: Sequence[int], devices=None) -> Mesh:
+    """Build a 4-axis device mesh of the given per-axis sizes.
+
+    Size-1 axes are kept (unsharded); the product must not exceed the
+    available device count.
+    """
+    mesh_shape = tuple(mesh_shape)
+    if len(mesh_shape) != 4:
+        raise ValueError("mesh_shape must be a 4-tuple over (X, Y, Z, T)")
+    n = int(np.prod(mesh_shape))
+    devices = jax.devices() if devices is None else list(devices)
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n]).reshape(mesh_shape), AXES)
+
+
+def link_spec() -> P:
+    """PartitionSpec for a link field [mu, a, b, X, Y, Z, T]."""
+    return P(None, None, None, *AXES)
+
+
+def link_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, link_spec())
+
+
+def shard_links(u, mesh: Mesh):
+    """Place a link field onto the mesh with the lattice decomposition."""
+    return jax.device_put(u, link_sharding(mesh))
+
+
+def mesh_for_config(cfg: SimConfig, devices=None) -> Optional[Mesh]:
+    """Mesh from cfg.mesh, or None when the run is single-device."""
+    if int(np.prod(cfg.mesh)) == 1:
+        return None
+    return make_mesh(cfg.mesh, devices)
+
+
+def default_mesh_shape(n_devices: int) -> Tuple[int, int, int, int]:
+    """Factor n_devices over (T, Z, Y, X) greedily — T first, then Z, Y, X.
+
+    The time axis is usually the largest and the Polyakov product along T is
+    measured rarely, so T-major decomposition keeps the halo surface small.
+    """
+    shape = [1, 1, 1, 1]
+    rem = n_devices
+    for ax in (3, 2, 1, 0):
+        while rem % 2 == 0:
+            shape[ax] *= 2
+            rem //= 2
+            if shape[ax] >= 8 and ax != 3:
+                break
+        if rem == 1:
+            break
+    if rem != 1:
+        shape[3] *= rem  # non-power-of-two remainder onto T
+    return tuple(shape)

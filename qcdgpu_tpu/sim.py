@@ -1,0 +1,247 @@
+"""Simulation orchestrator — the TPU counterpart of QCDGPU's model_CL::model.
+
+The whole Markov step is one pure function
+
+    (links, base_key, sweep_idx) -> links'
+
+jit-compiled once; a chunk of sweeps runs on-device under lax.fori_loop with
+fused measurements, so the host only sees (links, obs_series) at chunk
+boundaries (SURVEY.md §3.2 hot loop, rebuilt functionally per §7).
+
+Checkerboard structure: links of one parity are conditionally independent
+given the other parity (SURVEY.md §2 "Parallelism strategies"), so a sweep is
+8 dense stages (2 parities x 4 directions), each stage a masked update of an
+entire direction field.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import SimConfig
+from .ops import rng, sun
+from .ops.lattice import NDIM, parity_mask, site_index
+from .ops.measure import OBS_NAMES, measure_all
+from .ops.samplers import update_links
+from .ops.staples import staple_sum
+
+# stage-id namespace (folded into the per-stage RNG key; keep disjoint)
+_STAGE_INIT = 0xF0  # hot-start initialization
+_STAGES_PER_SWEEP = 64  # generous upper bound: update+OR stages per sweep
+
+
+def _cdtype(cfg: SimConfig):
+    return jnp.complex128 if cfg.dtype == "complex128" else jnp.complex64
+
+
+# ---------------------------------------------------------------------------
+# initial configurations
+# ---------------------------------------------------------------------------
+
+
+def cold_start(cfg: SimConfig):
+    """Unit links (ordered start)."""
+    n = cfg.group
+    return sun.identity(n, (NDIM,) + tuple(cfg.dims), _cdtype(cfg)).transpose(
+        2, 0, 1, 3, 4, 5, 6
+    )
+
+
+def hot_start(cfg: SimConfig, base_key):
+    """Disordered start: per-link random SU(N).
+
+    Gaussian complex matrix -> Gram–Schmidt projection (det fixed to +1 by
+    the cross-product row).  Not exactly Haar, but fully disordered, which is
+    all a hot start needs (matches the role of QCDGPU's hot init kernel).
+    """
+    n = cfg.group
+    cdtype = _cdtype(cfg)
+    key2 = rng.stage_key(base_key, 0, _STAGE_INIT)
+    sidx = site_index(cfg.dims)
+    links = []
+    for mu in range(NDIM):
+        kmu = rng.stage_key(key2, mu, _STAGE_INIT + 1)
+        z = rng.site_normals(kmu, sidx, 2 * n * n, slot0=0)
+        re = z[: 2 * n * n : 2].reshape((n, n) + tuple(cfg.dims))
+        im = z[1 : 2 * n * n : 2].reshape((n, n) + tuple(cfg.dims))
+        m = (re + 1j * im).astype(cdtype)
+        links.append(sun.reunitarize(m))
+    return jnp.stack(links, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# sweep construction
+# ---------------------------------------------------------------------------
+
+
+def make_sweep_fn(cfg: SimConfig):
+    """Build sweep(u, base_key, sweep_idx) -> u' for the configured algorithm.
+
+    One sweep = one update pass (heat-bath or Metropolis) + cfg.n_or
+    overrelaxation passes + conditional reunitarization.
+    """
+    dims = tuple(cfg.dims)
+    kinds = [cfg.algorithm] + ["overrelax"] * cfg.n_or
+
+    def stage(u, key2, parity, mu, kind, beta=None):
+        a = staple_sum(u, mu)
+        sidx = site_index(dims)
+        new = update_links(
+            u[mu],
+            a,
+            kind,
+            cfg.beta if beta is None else beta,
+            key2,
+            sidx,
+            k_trials=cfg.kp_trials,
+            n_hit=cfg.n_hit,
+            metro_delta=cfg.metro_delta,
+        )
+        mask = parity_mask(dims, parity)
+        return u.at[mu].set(jnp.where(mask, new, u[mu]))
+
+    def sweep(u, base_key, sweep_idx, beta=None):
+        # beta=None uses the static cfg.beta; an array beta supports the
+        # vmapped ensemble/beta-scan axis (models/ensemble.py).
+        stage_id = 0
+        for kind in kinds:
+            for parity in (0, 1):
+                for mu in range(NDIM):
+                    key2 = rng.stage_key(base_key, sweep_idx, stage_id)
+                    u = stage(u, key2, parity, mu, kind, beta)
+                    stage_id += 1
+        assert stage_id <= _STAGES_PER_SWEEP
+        if cfg.reunit_every > 0:
+            u = jax.lax.cond(
+                (sweep_idx % cfg.reunit_every) == (cfg.reunit_every - 1),
+                lambda x: jnp.stack([sun.reunitarize(x[m]) for m in range(NDIM)]),
+                lambda x: x,
+                u,
+            )
+        return u
+
+    return sweep
+
+
+def make_chunk_runner(cfg: SimConfig):
+    """jit-ed runner: n_sweeps on-device, measuring every measure_every-th.
+
+    Returns run(u, base_key, sweep0, n_sweeps, measure_every) ->
+    (u', obs [n_sweeps // measure_every, len(OBS_NAMES)]).
+    """
+    sweep = make_sweep_fn(cfg)
+
+    @partial(jax.jit, static_argnums=(3, 4))
+    def run(u, base_key, sweep0, n_sweeps, measure_every):
+        def sweeps_only(u, first, count):
+            def body(i, u):
+                return sweep(u, base_key, first + i)
+
+            return jax.lax.fori_loop(0, count, body, u)
+
+        if not measure_every:
+            u = sweeps_only(u, sweep0, n_sweeps)
+            return u, jnp.zeros((0, len(OBS_NAMES)), jnp.float32)
+
+        # scan over measurement blocks: meas_every sweeps + one unconditional
+        # measurement per block (a per-sweep lax.cond measurement made the
+        # XLA graph much slower to compile for zero runtime benefit)
+        n_blocks = n_sweeps // measure_every
+        rem = n_sweeps - n_blocks * measure_every
+
+        def block(u, b):
+            u = sweeps_only(u, sweep0 + b * measure_every, measure_every)
+            return u, measure_all(u)
+
+        u, obs = jax.lax.scan(block, u, jnp.arange(n_blocks))
+        if rem:
+            u = sweeps_only(u, sweep0 + n_blocks * measure_every, rem)
+        return u, obs
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Simulation driver (host-side thin loop)
+# ---------------------------------------------------------------------------
+
+
+class Simulation:
+    """Owns (links, base_key, sweep counter) and drives jit-ed chunks.
+
+    Mirrors the public surface of QCDGPU's model class: lattice_init /
+    lattice_simulate / lattice_measure / lattice_analysis / save / load
+    (SURVEY.md §1 L4), with functional state underneath.
+    """
+
+    def __init__(self, cfg: SimConfig, init_u=None):
+        self.cfg = cfg
+        self.base_key = rng.make_base_key(cfg.seed)
+        self._run = make_chunk_runner(cfg)
+        self.sweep_idx = 0
+        self.obs_history: list[np.ndarray] = []
+        if init_u is not None:
+            self.u = init_u
+        elif cfg.start == "hot":
+            self.u = hot_start(cfg, self.base_key)
+        else:  # "cold" (and "continue" callers pass init_u or use load())
+            self.u = cold_start(cfg)
+
+    # -- simulation -------------------------------------------------------
+    def thermalize(self, n: Optional[int] = None):
+        n = self.cfg.sweeps_therm if n is None else n
+        if n <= 0:
+            return self
+        self.u, _ = self._run(self.u, self.base_key, self.sweep_idx, n, 0)
+        self.sweep_idx += n
+        return self
+
+    def run(self, n: Optional[int] = None, measure_every: Optional[int] = None):
+        """Production sweeps; returns the observable series [n_meas, n_obs]."""
+        n = self.cfg.sweeps if n is None else n
+        me = self.cfg.meas_every if measure_every is None else measure_every
+        self.u, obs = self._run(self.u, self.base_key, self.sweep_idx, n, me)
+        self.sweep_idx += n
+        obs = np.asarray(obs)
+        self.obs_history.append(obs)
+        return obs
+
+    # -- measurement ------------------------------------------------------
+    def measure(self) -> dict:
+        vals = np.asarray(measure_all(self.u))
+        return dict(zip(OBS_NAMES, vals.tolist()))
+
+    def unitarity_defect(self) -> float:
+        return float(max(float(sun.unitarity_defect(self.u[m])) for m in range(NDIM)))
+
+    # -- analysis / reporting --------------------------------------------
+    def analysis(self):
+        from .utils.stats import analyze_series
+
+        obs = np.concatenate(self.obs_history, axis=0) if self.obs_history else None
+        if obs is None or obs.size == 0:
+            return {}
+        return {
+            name: analyze_series(obs[:, k]) for k, name in enumerate(OBS_NAMES)
+        }
+
+    # -- checkpoint -------------------------------------------------------
+    def save(self, path: str):
+        from .utils.checkpoint import save_state
+
+        save_state(path, self.cfg, self.u, self.sweep_idx, self.obs_history)
+
+    @classmethod
+    def load(cls, path: str) -> "Simulation":
+        from .utils.checkpoint import load_state
+
+        cfg, u, sweep_idx, obs_history = load_state(path)
+        sim = cls(cfg, init_u=u)
+        sim.sweep_idx = sweep_idx
+        sim.obs_history = obs_history
+        return sim

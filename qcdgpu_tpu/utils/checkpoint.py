@@ -1,0 +1,75 @@
+"""Full-state checkpoint / exact resume.
+
+QCDGPU dumps (run parameters + link field + PRNG state buffers) and a
+``continue`` start resumes the Markov chain bit-exactly (SURVEY.md §3.5).
+With counter-based RNG the "PRNG state" is just (seed, sweep_idx), so the
+same guarantee costs two integers: resuming at sweep_idx reproduces the
+exact same stream the uninterrupted run would have drawn.
+
+Format: a single .npz with a JSON config header — self-describing, portable,
+no framework state.  (Orbax is available in the image for sharded async
+checkpoints of very large lattices; this format is the canonical one because
+the whole state is one array.)
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SimConfig
+
+FORMAT_VERSION = 1
+
+
+def links_to_host(u) -> np.ndarray:
+    """Device complex link field -> host float array [2(re/im), ...].
+
+    Complex buffers cannot cross the device<->host boundary on every TPU
+    runtime (the axon PJRT tunnel raises UNIMPLEMENTED), so checkpoints
+    always travel as a re/im float split, converted on device.
+    """
+    import jax
+
+    split = jax.jit(lambda u: jnp.stack([jnp.real(u), jnp.imag(u)]))
+    return np.asarray(split(u))
+
+
+def links_from_host(ri: np.ndarray, cdtype):
+    """Inverse of links_to_host: host float [2, ...] -> device complex."""
+    import jax
+
+    rebuild = jax.jit(lambda r, i: (r + 1j * i).astype(cdtype))
+    return rebuild(jnp.asarray(ri[0]), jnp.asarray(ri[1]))
+
+
+def save_state(path, cfg: SimConfig, u, sweep_idx: int, obs_history=None):
+    obs = (
+        np.concatenate([np.asarray(o) for o in obs_history], axis=0)
+        if obs_history
+        else np.zeros((0, 6), np.float32)
+    )
+    np.savez_compressed(
+        path,
+        version=np.int64(FORMAT_VERSION),
+        config_json=np.bytes_(json.dumps(cfg.to_dict()).encode()),
+        links_ri=links_to_host(u),
+        sweep_idx=np.int64(sweep_idx),
+        obs=obs,
+    )
+
+
+def load_state(path):
+    with np.load(path, allow_pickle=False) as z:
+        version = int(z["version"])
+        if version != FORMAT_VERSION:
+            raise ValueError(f"unsupported checkpoint version {version}")
+        cfg = SimConfig.from_dict(json.loads(bytes(z["config_json"]).decode()))
+        cdtype = jnp.complex128 if cfg.dtype == "complex128" else jnp.complex64
+        u = links_from_host(z["links_ri"], cdtype)
+        sweep_idx = int(z["sweep_idx"])
+        obs = z["obs"]
+    history = [obs] if obs.size else []
+    return cfg, u, sweep_idx, history

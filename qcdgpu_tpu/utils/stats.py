@@ -1,0 +1,82 @@
+"""Markov-chain time-series statistics: binned/jackknife errors.
+
+QCDGPU's data_analysis module reports mean / dispersion / naive error of the
+measurement series (SURVEY.md §2 "Data analysis").  Monte Carlo series are
+autocorrelated, so the acceptance gates ("within MC error") need
+autocorrelation-aware errors — we add log-binning and jackknife on top of the
+reference capabilities (SURVEY.md §7 "Hard parts" #5).
+
+Pure numpy on the host: the series are tiny (one scalar per measurement).
+A C++ implementation of the same estimators lives in
+qcdgpu_tpu/native/analysis and is used when built (see utils/native.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class SeriesStats:
+    n: int
+    mean: float
+    var: float  # population variance of the raw series
+    err_naive: float  # sqrt(var / n) — uncorrelated assumption
+    err: float  # binning-plateau error (autocorrelation-aware)
+    tau_int: float  # integrated autocorrelation estimate from binning
+    bins_used: int
+
+    def to_dict(self):
+        return self.__dict__.copy()
+
+
+def binned_error(x: np.ndarray, bin_size: int) -> float:
+    """Standard error of the mean computed on non-overlapping bin means."""
+    nb = len(x) // bin_size
+    if nb < 2:
+        return float("nan")
+    b = x[: nb * bin_size].reshape(nb, bin_size).mean(axis=1)
+    return float(np.sqrt(b.var(ddof=1) / nb))
+
+
+def analyze_series(x, min_bins: int = 8) -> SeriesStats:
+    """Mean +/- autocorrelation-aware error via the binning plateau.
+
+    Doubles the bin size while at least ``min_bins`` bins remain and takes
+    the largest (plateau) error estimate.
+    """
+    x = np.asarray(x, dtype=np.float64).ravel()
+    n = len(x)
+    mean = float(x.mean()) if n else float("nan")
+    var = float(x.var()) if n else float("nan")
+    if n < 2:
+        return SeriesStats(n, mean, var, float("nan"), float("nan"), float("nan"), 1)
+    err_naive = float(np.sqrt(x.var(ddof=1) / n))
+    best = err_naive
+    bin_size = 1
+    bs = 2
+    while n // bs >= min_bins:
+        e = binned_error(x, bs)
+        if np.isfinite(e) and e > best:
+            best = e
+            bin_size = bs
+        bs *= 2
+    tau = 0.5 * (best / err_naive) ** 2 if err_naive > 0 else float("nan")
+    return SeriesStats(n, mean, var, err_naive, best, float(tau), n // max(bin_size, 1))
+
+
+def jackknife(x: np.ndarray, estimator=np.mean, bin_size: int = 1):
+    """Delete-one-bin jackknife: (estimate, error)."""
+    x = np.asarray(x, dtype=np.float64).ravel()
+    nb = len(x) // bin_size
+    if nb < 2:
+        return float(estimator(x)), float("nan")
+    b = x[: nb * bin_size].reshape(nb, bin_size)
+    full = float(estimator(b.reshape(-1)))
+    reps = np.array(
+        [estimator(np.delete(b, i, axis=0).reshape(-1)) for i in range(nb)]
+    )
+    err = np.sqrt((nb - 1) / nb * np.sum((reps - reps.mean()) ** 2))
+    return full, float(err)

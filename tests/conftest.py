@@ -1,0 +1,38 @@
+"""Test env: force CPU backend with 8 virtual devices (SURVEY.md §4).
+
+Must run before any jax import: tests exercise the multi-chip sharding paths
+on a virtual 8-device CPU mesh, exactly how the driver's dryrun validates
+them.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The image's sitecustomize imports jax at interpreter boot (axon TPU
+# tunnel), so the env var alone is too late — override via jax.config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# double precision for oracle comparisons (package code pins its own dtypes)
+jax.config.update("jax_enable_x64", True)
+
+# persistent compile cache — XLA:CPU compiles of the full sweep are the
+# dominant test cost; cache them across test runs
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running physics tests")

@@ -1,0 +1,79 @@
+"""Checkpoint/resume exactness + CLI driver end-to-end (tiny configs)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from qcdgpu_tpu import SimConfig, Simulation
+from qcdgpu_tpu.cli import main as cli_main
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    cfg = SimConfig(group=3, dims=(4, 4, 4, 4), beta=5.7, sweeps_therm=0,
+                    sweeps=0, seed=11)
+    sim = Simulation(cfg)
+    sim.thermalize(4)
+    p = str(tmp_path / "state.npz")
+    sim.save(p)
+    sim2 = Simulation.load(p)
+    assert sim2.sweep_idx == sim.sweep_idx
+    o_a = sim.run(4, measure_every=2)
+    o_b = sim2.run(4, measure_every=2)
+    np.testing.assert_array_equal(o_a, o_b)
+
+
+def test_checkpoint_preserves_config(tmp_path):
+    cfg = SimConfig(group=2, dims=(4, 4, 4, 8), beta=2.2, n_or=2, seed=3,
+                    sweeps_therm=0, sweeps=0)
+    sim = Simulation(cfg)
+    p = str(tmp_path / "s.npz")
+    sim.save(p)
+    sim2 = Simulation.load(p)
+    assert sim2.cfg == cfg
+
+
+def test_cli_run_and_resume(tmp_path):
+    out = str(tmp_path / "out")
+    cli_main([
+        "run", "--group", "2", "--dims", "4,4,4,4", "--beta", "2.4",
+        "--therm", "2", "--sweeps", "4", "--seed", "1", "--out", out,
+    ])
+    rec = json.load(open(os.path.join(out, "results.json")))
+    assert 0.0 < rec["results"]["plq"]["mean"] < 1.0
+    assert rec["config"]["group"] == 2
+    assert os.path.exists(os.path.join(out, "results.txt"))
+    assert os.path.exists(os.path.join(out, "state.npz"))
+
+    out2 = str(tmp_path / "out2")
+    cli_main(["resume", os.path.join(out, "state.npz"), "--sweeps", "2",
+              "--out", out2])
+    rec2 = json.load(open(os.path.join(out2, "results.json")))
+    assert rec2["results"]["plq"]["n"] >= 1
+
+
+def test_cli_config_file_with_overrides(tmp_path):
+    cfgfile = tmp_path / "run.toml"
+    cfgfile.write_text(
+        'group = 2\ndims = [4, 4, 4, 4]\nbeta = 2.0\nsweeps_therm = 1\n'
+        'sweeps = 2\nseed = 5\n'
+    )
+    out = str(tmp_path / "o")
+    cli_main(["run", "--config", str(cfgfile), "--beta", "2.5", "--out", out])
+    rec = json.load(open(os.path.join(out, "results.json")))
+    assert rec["config"]["beta"] == 2.5  # CLI overrides the init file
+    assert rec["config"]["group"] == 2
+
+
+def test_cli_scan(tmp_path):
+    out = str(tmp_path / "scan")
+    cli_main([
+        "scan", "--group", "2", "--dims", "4,4,4,4", "--betas", "1.0,3.0",
+        "--therm", "2", "--sweeps", "4", "--seed", "2", "--out", out,
+    ])
+    rec = json.load(open(os.path.join(out, "scan.json")))
+    rows = rec["scan"]
+    assert len(rows) == 2
+    # plaquette increases with beta — the scan orders correctly
+    assert rows[1]["plq"] > rows[0]["plq"]
