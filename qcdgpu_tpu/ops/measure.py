@@ -64,9 +64,19 @@ def polyakov_loop(u):
     p = jnp.moveaxis(ut, -1, 0)  # [T, N, N, X, Y, Z]
 
     def pairmul(a, b):
-        return jnp.einsum(
-            "aij...,ajk...->aik...", a, b, precision=jax.lax.Precision.HIGHEST
-        )
+        # unrolled like sun.mul (see there for the TPU layout rationale),
+        # with a leading pair axis
+        n = a.shape[1]
+        rows = []
+        for i in range(n):
+            row = []
+            for k in range(n):
+                acc = a[:, i, 0] * b[:, 0, k]
+                for j in range(1, n):
+                    acc = acc + a[:, i, j] * b[:, j, k]
+                row.append(acc)
+            rows.append(jnp.stack(row, axis=1))
+        return jnp.stack(rows, axis=1)
 
     while p.shape[0] > 1:
         odd = p.shape[0] % 2 == 1

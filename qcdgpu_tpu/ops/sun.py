@@ -35,15 +35,28 @@ import jax.numpy as jnp
 def mul(a, b):
     """Matrix product over leading matrix dims, broadcasting over sites.
 
-    precision=HIGHEST: TPU's default matmul precision truncates f32 inputs
-    to bf16 on the MXU, which inflates unitarity drift to ~1e-2 per few
-    sweeps.  These are 3x3 contractions over huge batch dims — VPU-bound
-    either way — so full f32 costs little and keeps links on the group
-    manifold to f32 roundoff.
+    Deliberately unrolled into N^3 elementwise multiply-adds instead of
+    einsum/dot_general, for two TPU reasons:
+      * a dot_general over tiny (3x3) contraction dims makes XLA emit
+        temps with the matrix dims minor-most, which the (8,128) tile
+        padding inflates ~113x — a 32^4 sweep then "needs" 32 GB HBM for
+        an 864 MB working set (observed);
+      * the default MXU matmul precision truncates f32 to bf16, inflating
+        unitarity drift to ~1e-2.  Elementwise VPU ops are full f32.
+    Site dims stay minor-most and contiguous; the VPU vectorizes over them.
     """
-    return jnp.einsum(
-        "ij...,jk...->ik...", a, b, precision=jax.lax.Precision.HIGHEST
-    )
+    n, m = a.shape[0], b.shape[1]
+    kk = a.shape[1]
+    rows = []
+    for i in range(n):
+        row = []
+        for k in range(m):
+            acc = a[i, 0] * b[0, k]
+            for j in range(1, kk):
+                acc = acc + a[i, j] * b[j, k]
+            row.append(acc)
+        rows.append(jnp.stack(row, axis=0))
+    return jnp.stack(rows, axis=0)
 
 
 def dagger(a):
@@ -52,8 +65,12 @@ def dagger(a):
 
 
 def trace(a):
-    """Complex trace over the leading matrix dims."""
-    return jnp.einsum("ii...->...", a)
+    """Complex trace over the leading matrix dims (explicit diagonal sum —
+    keeps the op elementwise; see mul() for why einsum is avoided)."""
+    acc = a[0, 0]
+    for i in range(1, a.shape[0]):
+        acc = acc + a[i, i]
+    return acc
 
 
 def retrace(a):
