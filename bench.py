@@ -33,6 +33,9 @@ def main():
 
     enable_persistent_cache()
 
+    import jax
+    import jax.numpy as jnp
+
     cfg = SimConfig(
         group=3,
         dims=DIMS,
@@ -44,12 +47,20 @@ def main():
         start="cold",
     )
     sim = Simulation(cfg)
+
+    # block_until_ready does not actually block on the tunneled TPU
+    # backend; force completion with a jitted on-device reduce + host fetch.
+    sync_fn = jax.jit(lambda u: jnp.sum(jnp.real(u[0, 0, 0, 0, 0, 0, :])))
+
+    def sync():
+        return float(jax.device_get(sync_fn(sim.u)))
+
     # compile + warm (same static chunk size as the timed run)
     sim.thermalize(BENCH_SWEEPS)
-    sim.u.block_until_ready()
+    sync()
     t0 = time.perf_counter()
     sim.thermalize(BENCH_SWEEPS)
-    sim.u.block_until_ready()
+    sync()
     dt = time.perf_counter() - t0
 
     n_links = 4 * cfg.volume

@@ -39,6 +39,16 @@ class SimConfig:
     seed: int = 0
     dtype: str = "complex64"  # "complex64" | "complex128"
 
+    # --- engine ----------------------------------------------------------
+    # "auto": fused Pallas kernels on TPU, XLA elsewhere.  "xla" is the
+    # jax.numpy reference engine (also the multi-device SPMD path);
+    # "pallas" forces the fused kernels (TPU only).
+    engine: str = "auto"  # "auto" | "xla" | "pallas"
+    # "threefry": bit-identical counter RNG across engines/shardings.
+    # "hw": TPU hardware PRNG seeded per (key, stage, slab) — faster,
+    # statistically equivalent (RNG parity suite), not bit-compatible.
+    rng_mode: str = "threefry"  # "threefry" | "hw"
+
     # --- parallel --------------------------------------------------------
     # mesh axis sizes over the lattice site axes (X, Y, Z, T); 1 = unsharded.
     mesh: Tuple[int, int, int, int] = (1, 1, 1, 1)
@@ -52,6 +62,12 @@ class SimConfig:
             raise ValueError(f"unknown algorithm {self.algorithm!r}")
         if self.start not in ("cold", "hot", "continue"):
             raise ValueError(f"unknown start {self.start!r}")
+        if self.engine not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown engine {self.engine!r}")
+        if self.rng_mode not in ("threefry", "hw"):
+            raise ValueError(f"unknown rng_mode {self.rng_mode!r}")
+        if self.engine == "pallas" and self.dtype != "complex64":
+            raise ValueError("the pallas engine is float32 (complex64) only")
         for d, m in zip(self.dims, self.mesh):
             if d % (2 * m) != 0:
                 raise ValueError(

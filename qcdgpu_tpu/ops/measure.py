@@ -50,8 +50,14 @@ def mean_plaquette(u):
 
 
 def polyakov_loop(u):
+    """Volume-averaged Polyakov loop from the full link field."""
+    return polyakov_from_ut(u[TIME_AXIS])
+
+
+def polyakov_from_ut(ut):
     """Volume-averaged Polyakov loop (complex), 1/N-normalized.
 
+    ut: the temporal links [N, N, X, Y, Z, T].
     L(xvec) = (1/N) tr prod_t U_t(xvec, t); returns mean over space.
 
     The time product is a log-depth pairwise tree with static slicing —
@@ -59,7 +65,6 @@ def polyakov_loop(u):
     pathologically slowly on TPU and serializes T matmuls where log2(T)
     batched ones suffice.
     """
-    ut = u[TIME_AXIS]  # [N, N, X, Y, Z, T]
     n = ut.shape[0]
     p = jnp.moveaxis(ut, -1, 0)  # [T, N, N, X, Y, Z]
 

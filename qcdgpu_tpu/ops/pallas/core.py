@@ -1,0 +1,250 @@
+"""In-kernel building blocks for the Pallas TPU engine.
+
+The Pallas engine works on a *split-float slab* layout: each direction's
+link field is a float32 array ``[N, N, 2, X, Y, Z*T]`` (matrix row, matrix
+col, re/im, then site axes with Z and T flattened so the lane dimension is
+Z*T — a multiple of 128 for production lattices, which is what the (8, 128)
+VPU tiling wants).  Kernels grid over X; the Y/Z/T neighbor shifts all stay
+inside one block as VMEM rolls, while X±1 neighbors arrive as extra inputs
+whose BlockSpec index_map points at the wrapped neighboring block
+(qcdgpu_tpu/ops/pallas/update.py).
+
+Inside a kernel a complex number is a ``(re, im)`` pair of [Y, Z*T] arrays
+and an SU(N) matrix is an N x N nested tuple of those pairs — fully
+unrolled, so Mosaic keeps the whole staple/update arithmetic in vector
+registers/VMEM with zero HBM round-trips.
+
+Capability parity: the SU(N) device math of QCDGPU's kernel/su2cl.cl,
+su3cl.cl (reference mount empty; SURVEY.md §2 "SU(N) matrix math headers").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental.pallas import tpu as pltpu
+
+_U32 = jnp.uint32
+
+# ---------------------------------------------------------------------------
+# complex scalars as (re, im) pairs of equal-shape f32 arrays
+# ---------------------------------------------------------------------------
+
+
+def cmul(a, b):
+    return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
+
+
+def cmul_conj(a, b):
+    """a * conj(b)."""
+    return (a[0] * b[0] + a[1] * b[1], a[1] * b[0] - a[0] * b[1])
+
+
+def cadd(a, b):
+    return (a[0] + b[0], a[1] + b[1])
+
+
+def conj(a):
+    return (a[0], -a[1])
+
+
+# ---------------------------------------------------------------------------
+# matrices as N x N nested tuples of complex pairs
+# ---------------------------------------------------------------------------
+
+
+def load_mat(ref, n):
+    """Read an [N, N, 2, 1, Y, ZT]-block ref into a matrix tuple."""
+    return tuple(
+        tuple((ref[i, j, 0, 0], ref[i, j, 1, 0]) for j in range(n))
+        for i in range(n)
+    )
+
+
+def store_mat(ref, m, n):
+    for i in range(n):
+        for j in range(n):
+            ref[i, j, 0, 0] = m[i][j][0]
+            ref[i, j, 1, 0] = m[i][j][1]
+
+
+def mmul(a, b):
+    """Matrix product of two nested-tuple matrices."""
+    n, kk, m = len(a), len(b), len(b[0])
+    out = []
+    for i in range(n):
+        row = []
+        for k in range(m):
+            acc = cmul(a[i][0], b[0][k])
+            for j in range(1, kk):
+                acc = cadd(acc, cmul(a[i][j], b[j][k]))
+            row.append(acc)
+        out.append(tuple(row))
+    return tuple(out)
+
+
+def mmul_bdag(a, b):
+    """a @ b^dagger without materializing the dagger."""
+    n, kk, m = len(a), len(a[0]), len(b)
+    out = []
+    for i in range(n):
+        row = []
+        for k in range(m):
+            acc = cmul_conj(a[i][0], b[k][0])
+            for j in range(1, kk):
+                acc = cadd(acc, cmul_conj(a[i][j], b[k][j]))
+            row.append(acc)
+        out.append(tuple(row))
+    return tuple(out)
+
+
+def mdag(a):
+    n = len(a)
+    return tuple(tuple(conj(a[j][i]) for j in range(n)) for i in range(n))
+
+
+def madd(a, b):
+    n = len(a)
+    return tuple(
+        tuple(cadd(a[i][j], b[i][j]) for j in range(len(a[0]))) for i in range(n)
+    )
+
+
+def mmap(f, a):
+    return tuple(tuple(f(c) for c in row) for row in a)
+
+
+# ---------------------------------------------------------------------------
+# lattice shifts on [Y, ZT] slabs (lattice axes: 1=Y, 2=Z, 3=T)
+# ---------------------------------------------------------------------------
+
+
+def shift_comp(v, lat_axis, d, dims):
+    """f'(x) = f(x + d * axis_hat) for one [Y, ZT] component (periodic).
+
+    Matches qcdgpu_tpu.ops.lattice.shift (= np.roll by -d) for the in-block
+    axes; X shifts (lat_axis 0) are block-level and handled by index maps.
+    """
+    _, y_dim, z_dim, t_dim = dims
+    zt = z_dim * t_dim
+    if lat_axis == 1:
+        return pltpu.roll(v, (-d) % y_dim, axis=0)
+    if lat_axis == 2:
+        return pltpu.roll(v, ((-d) * t_dim) % zt, axis=1)
+    if lat_axis == 3:
+        # T is the inner factor of the flattened ZT axis: a global lane roll
+        # is correct except on the wrapping T-boundary rows, which must wrap
+        # within their own Z block.
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) % t_dim
+        main = pltpu.roll(v, (-d) % zt, axis=1)
+        if d == 1:
+            fix = pltpu.roll(v, (t_dim - 1) % zt, axis=1)
+            return jnp.where(t_ids == t_dim - 1, fix, main)
+        elif d == -1:
+            fix = pltpu.roll(v, (1 - t_dim) % zt, axis=1)
+            return jnp.where(t_ids == 0, fix, main)
+        raise ValueError("|d| must be 1 for T shifts")
+    raise ValueError(f"in-block shift on lattice axis {lat_axis}")
+
+
+def shift_mat(m, lat_axis, d, dims):
+    return mmap(lambda c: (shift_comp(c[0], lat_axis, d, dims),
+                           shift_comp(c[1], lat_axis, d, dims)), m)
+
+
+# ---------------------------------------------------------------------------
+# site indices / parity for one x-slab
+# ---------------------------------------------------------------------------
+
+
+def slab_site_index(x, dims):
+    """uint32 [Y, ZT] of global row-major site indices for x-slice ``x``.
+
+    Bit-compatible with qcdgpu_tpu.ops.lattice.site_index under the
+    (Y, Z*T) flattening (row-major means the flattening is index-exact).
+    """
+    _, y_dim, z_dim, t_dim = dims
+    zt = z_dim * t_dim
+    y = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt), 0)
+    f = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt), 1)
+    idx = (x * y_dim + y) * zt + f
+    return idx.astype(_U32)
+
+
+def slab_parity(x, dims):
+    """int32 [Y, ZT]: (x + y + z + t) % 2 for x-slice ``x``."""
+    _, y_dim, z_dim, t_dim = dims
+    zt = z_dim * t_dim
+    y = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt), 0)
+    f = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt), 1)
+    z = f // t_dim
+    t = f % t_dim
+    return (x + y + z + t) % 2
+
+
+# ---------------------------------------------------------------------------
+# in-kernel threefry (bit-identical to qcdgpu_tpu.ops.rng)
+# ---------------------------------------------------------------------------
+
+_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
+_PARITY_C = 0x1BD11BDA
+
+
+def _rotl(x, r):
+    return (x << _U32(r)) | (x >> _U32(32 - r))
+
+
+def threefry2x32(k0, k1, x0, x1):
+    """20-round threefry on u32 arrays — same bits as ops.rng.threefry2x32."""
+    x0 = x0 + k0
+    x1 = x1 + k1
+    ks = (k0, k1, k0 ^ k1 ^ _U32(_PARITY_C))
+    inject = 0
+    for r in range(20):
+        x0 = x0 + x1
+        x1 = _rotl(x1, _ROT[r % 8])
+        x1 = x1 ^ x0
+        if (r + 1) % 4 == 0:
+            inject += 1
+            x0 = x0 + ks[inject % 3]
+            x1 = x1 + ks[(inject + 1) % 3] + _U32(inject)
+    return x0, x1
+
+
+def bits_to_uniform(bits):
+    """Same open-(0,1) 24-bit grid as ops.rng._bits_to_uniform.
+
+    Mosaic has no u32->f32 cast; the 24-bit value fits int32 exactly, so the
+    i32 hop is value-preserving.
+    """
+    h = (bits >> _U32(8)).astype(jnp.int32).astype(jnp.float32)
+    return (h + jnp.float32(0.5)) * jnp.float32(1.0 / (1 << 24))
+
+
+def slab_uniforms(k0, k1, sidx, n, slot0=0):
+    """n uniforms per site on a [Y, ZT] slab; slot layout identical to
+    ops.rng.site_uniforms (pair p -> slots slot0+p; b0 -> u[2p], b1 ->
+    u[2p+1]), so a kernel built on this draws bit-identical randomness to
+    the XLA engine."""
+    out = []
+    for p in range((n + 1) // 2):
+        b0, b1 = threefry2x32(k0, k1, sidx, jnp.full_like(sidx, slot0 + p))
+        out.append(bits_to_uniform(b0))
+        out.append(bits_to_uniform(b1))
+    return out[:n]
+
+
+def hw_uniforms(n, shape):
+    """n uniforms per site from the TPU hardware PRNG (rng_mode="hw").
+
+    Caller must have seeded via pltpu.prng_seed.  Statistically equivalent
+    stream (validated by the RNG parity suite's consumption tests), NOT
+    bit-compatible with threefry — use for throughput, not for bit-exact
+    reproducibility across engines/shardings.
+    """
+    out = []
+    for _ in range(n):
+        bits = pltpu.prng_random_bits(shape)
+        out.append(bits_to_uniform(pltpu.bitcast(bits, _U32)))
+    return out

@@ -1,0 +1,351 @@
+"""Fused Pallas stage kernels: staples + Cabibbo–Marinari update in VMEM.
+
+One kernel application = one checkerboard stage (parity p, direction mu):
+for every site of one x-slab it gathers the 6 staples, forms W = U A, runs
+the subgroup sampler (Kennedy–Pendleton heat-bath / overrelaxation /
+multi-hit Metropolis — the same algorithms as qcdgpu_tpu.ops.samplers, which
+remains the XLA reference engine), and writes the parity-masked new link —
+all in VMEM, with randomness generated in-kernel.  This is the TPU-native
+counterpart of QCDGPU's fused update kernels (kernel/su2_update_cl.cl,
+su3_update_cl.cl — SURVEY.md §2 "Update kernels"), replacing a ~50-kernel
+XLA graph per stage (hundreds of HBM-materialized temporaries) with one
+pass over the link field.
+
+Halo structure: grid over X.  The seven slabs each stage needs (center
+slabs of every direction plus the X±1 slabs listed in _slab_set) arrive as
+separate inputs whose index_map points at the wrapped neighbor block; all
+Y/Z/T shifts are VMEM rolls (core.shift_comp).
+
+RNG: rng_mode="threefry" draws bit-identically to the XLA engine
+(core.slab_uniforms == ops.rng.site_uniforms).  rng_mode="hw" uses the TPU
+hardware PRNG seeded per (key, stage, x-slab): ~60 u32-ops/uniform cheaper,
+statistically equivalent, not bit-compatible.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import core
+
+# ---------------------------------------------------------------------------
+# quaternions as 4-tuples of [Y, ZT] f32 arrays (see ops.sun conventions)
+# ---------------------------------------------------------------------------
+
+
+def quat_from_block(w, i, j):
+    a0 = 0.5 * (w[i][i][0] + w[j][j][0])
+    a1 = 0.5 * (w[i][j][1] + w[j][i][1])
+    a2 = 0.5 * (w[i][j][0] - w[j][i][0])
+    a3 = 0.5 * (w[i][i][1] - w[j][j][1])
+    return (a0, a1, a2, a3)
+
+
+def quat_mul(p, q):
+    return (
+        p[0] * q[0] - p[1] * q[1] - p[2] * q[2] - p[3] * q[3],
+        p[0] * q[1] + q[0] * p[1] - (p[2] * q[3] - p[3] * q[2]),
+        p[0] * q[2] + q[0] * p[2] - (p[3] * q[1] - p[1] * q[3]),
+        p[0] * q[3] + q[0] * p[3] - (p[1] * q[2] - p[2] * q[1]),
+    )
+
+
+def quat_conj(q):
+    return (q[0], -q[1], -q[2], -q[3])
+
+
+def subgroup_left_mul(q, i, j, m):
+    """m <- embed(M(q); i, j) @ m on a nested-tuple matrix (8 cmul/site)."""
+    u00 = (q[0], q[3])
+    u01 = (q[2], q[1])
+    u10 = (-q[2], q[1])
+    u11 = (q[0], -q[3])
+    rows = [list(r) for r in m]
+    for k in range(len(m[0])):
+        mi, mj = m[i][k], m[j][k]
+        rows[i][k] = core.cadd(core.cmul(u00, mi), core.cmul(u01, mj))
+        rows[j][k] = core.cadd(core.cmul(u10, mi), core.cmul(u11, mj))
+    return tuple(tuple(r) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# subgroup samplers (tuple ports of ops.samplers — same math, same RNG order)
+# ---------------------------------------------------------------------------
+
+TWO_PI = 6.2831853071795864769
+
+
+def _identity_quat(shape):
+    return (jnp.ones(shape, jnp.float32),) + tuple(
+        jnp.zeros(shape, jnp.float32) for _ in range(3)
+    )
+
+
+def heatbath_flip(q_w, two_beta_over_n, u, k_trials):
+    """KP heat-bath multiplier; u = list of 4*k_trials + 2 uniform slabs.
+
+    Mirrors samplers.heatbath_flip / kp_trial_quat: fixed-K masked trials,
+    first accepted wins, identity on exhaustion.
+    """
+    k = jnp.sqrt(q_w[0] ** 2 + q_w[1] ** 2 + q_w[2] ** 2 + q_w[3] ** 2)
+    safe_k = jnp.maximum(k, 1e-30)
+    v = tuple(c / safe_k for c in q_w)
+    a = two_beta_over_n * k
+    inv2a = 1.0 / (2.0 * jnp.maximum(a, 1e-10))
+    lam2_sel = None
+    ok = None
+    for t in range(k_trials):
+        r1, r2, r3, r4 = u[4 * t], u[4 * t + 1], u[4 * t + 2], u[4 * t + 3]
+        c = jnp.cos(jnp.float32(TWO_PI) * r2)
+        lam2 = -inv2a * (jnp.log(r1) + c * c * jnp.log(r3))
+        acc = (r4 * r4) <= (1.0 - lam2)
+        if t == 0:
+            lam2_sel, ok = lam2, acc
+        else:
+            take = acc & jnp.logical_not(ok)
+            lam2_sel = jnp.where(take, lam2, lam2_sel)
+            ok = ok | acc
+    x0 = jnp.clip(1.0 - 2.0 * lam2_sel, -1.0, 1.0)
+    rho = jnp.sqrt(jnp.maximum(1.0 - x0 * x0, 0.0))
+    ct = 2.0 * u[4 * k_trials] - 1.0
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    ph = jnp.float32(TWO_PI) * u[4 * k_trials + 1]
+    w = (x0, rho * st * jnp.cos(ph), rho * st * jnp.sin(ph), rho * ct)
+    unew = quat_mul(w, quat_conj(v))
+    good = ok & (k > 1e-30)
+    ident = _identity_quat(k.shape)
+    return tuple(jnp.where(good, unew[c], ident[c]) for c in range(4))
+
+
+def overrelax_flip(q_w):
+    k = jnp.sqrt(q_w[0] ** 2 + q_w[1] ** 2 + q_w[2] ** 2 + q_w[3] ** 2)
+    v = tuple(c / jnp.maximum(k, 1e-30) for c in q_w)
+    vc = quat_conj(v)
+    u = quat_mul(vc, vc)
+    ident = _identity_quat(k.shape)
+    good = k > 1e-30
+    return tuple(jnp.where(good, u[c], ident[c]) for c in range(4))
+
+
+def metropolis_flip(q_w, two_beta_over_n, uu, n_hit, delta):
+    acc_u = _identity_quat(q_w[0].shape)
+    q_cur = q_w
+    ident = _identity_quat(q_w[0].shape)
+    for h in range(n_hit):
+        u = uu[4 * h : 4 * (h + 1)]
+        w1 = delta * (2.0 * u[0] - 1.0)
+        w2 = delta * (2.0 * u[1] - 1.0)
+        w3 = delta * (2.0 * u[2] - 1.0)
+        w0 = jnp.ones_like(w1)
+        nrm = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2 + w3 * w3)
+        w = (w0 / nrm, w1 / nrm, w2 / nrm, w3 / nrm)
+        new0 = quat_mul(w, q_cur)[0]
+        dlp = two_beta_over_n * (new0 - q_cur[0])
+        accept = jnp.log(u[3]) < dlp
+        w_eff = tuple(jnp.where(accept, w[c], ident[c]) for c in range(4))
+        acc_u = quat_mul(w_eff, acc_u)
+        q_cur = quat_mul(w_eff, q_cur)
+    return acc_u
+
+
+# ---------------------------------------------------------------------------
+# slab plumbing
+# ---------------------------------------------------------------------------
+
+
+def _slab_set(mu):
+    """The (dir, x-offset) slabs stage mu reads (SURVEY.md §7 hard part 2)."""
+    if mu == 0:
+        return [(0, 0), (1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)]
+    others = [d for d in range(1, 4) if d != mu]
+    return [(mu, 0), (mu, 1), (mu, -1), (0, 0), (0, -1)] + [
+        (d, 0) for d in others
+    ]
+
+
+def _subgroups(n):
+    if n == 2:
+        return ((0, 1),)
+    return ((0, 1), (0, 2), (1, 2))
+
+
+def _uniforms_per_subgroup(kind, k_trials, n_hit):
+    if kind == "heatbath":
+        return 4 * k_trials + 2
+    if kind == "metropolis":
+        return 4 * n_hit
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# the stage kernel
+# ---------------------------------------------------------------------------
+
+
+def _stage_kernel(key_ref, *refs, mu, parity, kind, n, dims, beta, k_trials,
+                  n_hit, metro_delta, rng_mode):
+    slabs = _slab_set(mu)
+    o_ref = refs[-1]
+    mats = {}
+
+    def U(d, dx=0, shifts=()):
+        if (d, dx) not in mats:
+            mats[(d, dx)] = core.load_mat(refs[slabs.index((d, dx))], n)
+        m = mats[(d, dx)]
+        for ax, dd in shifts:
+            m = core.shift_mat(m, ax, dd, dims)
+        return m
+
+    def shifted(d, lat_axis, delta, extra=()):
+        """shift(u_d, lat_axis, delta) with optional extra in-block shifts."""
+        if lat_axis == 0:
+            return U(d, delta, extra)
+        return U(d, 0, ((lat_axis, delta),) + tuple(extra))
+
+    # --- staple accumulation (same contractions as ops.staples) ----------
+    acc = None
+    for nu in range(4):
+        if nu == mu:
+            continue
+        # forward: U_nu(x+mu) [U_nu(x) U_mu(x+nu)]^+
+        inner = core.mmul(U(nu, 0), shifted(mu, nu, 1))
+        fwd = core.mmul_bdag(shifted(nu, mu, 1), inner)
+        # backward: [U_mu(x-nu) U_nu(x+mu-nu)]^+ U_nu(x-nu)
+        if mu == 0:
+            s2 = U(nu, 1, ((nu, -1),))
+        elif nu == 0:
+            s2 = U(0, -1, ((mu, 1),))
+        else:
+            s2 = U(nu, 0, ((mu, 1), (nu, -1)))
+        bwd = core.mmul(core.mdag(core.mmul(shifted(mu, nu, -1), s2)),
+                        shifted(nu, nu, -1))
+        term = core.madd(fwd, bwd)
+        acc = term if acc is None else core.madd(acc, term)
+
+    u_mu = U(mu, 0)
+    w = core.mmul(u_mu, acc)
+
+    # --- randomness -------------------------------------------------------
+    x = pl.program_id(0)
+    sgs = _subgroups(n)
+    per = _uniforms_per_subgroup(kind, k_trials, n_hit)
+    per_slots = (per + 1) // 2
+    shape = (dims[1], dims[2] * dims[3])
+    if per and rng_mode == "hw":
+        # fold the slab index into the two seed words (prng_seed takes at
+        # most 2 values); the hardware PRNG hashes the seeds further
+        xu = x.astype(jnp.uint32) if hasattr(x, "astype") else jnp.uint32(x)
+        pltpu.prng_seed(
+            key_ref[0] ^ (xu * jnp.uint32(0x9E3779B9)), key_ref[1] + xu
+        )
+        u_all = core.hw_uniforms(2 * per_slots * len(sgs), shape)
+    elif per:
+        sidx = core.slab_site_index(x, dims)
+        u_all = core.slab_uniforms(
+            key_ref[0], key_ref[1], sidx, 2 * per_slots * len(sgs)
+        )
+
+    # --- Cabibbo–Marinari subgroup sweep ---------------------------------
+    two_beta_over_n = jnp.float32(2.0 * beta / n)
+    for s, (i, j) in enumerate(sgs):
+        q_w = quat_from_block(w, i, j)
+        if kind == "heatbath":
+            u_s = u_all[2 * per_slots * s : 2 * per_slots * s + per]
+            flip = heatbath_flip(q_w, two_beta_over_n, u_s, k_trials)
+        elif kind == "overrelax":
+            flip = overrelax_flip(q_w)
+        elif kind == "metropolis":
+            u_s = u_all[2 * per_slots * s : 2 * per_slots * s + per]
+            flip = metropolis_flip(q_w, two_beta_over_n, u_s, n_hit,
+                                   metro_delta)
+        else:
+            raise ValueError(kind)
+        u_mu = subgroup_left_mul(flip, i, j, u_mu)
+        w = subgroup_left_mul(flip, i, j, w)
+
+    # --- parity-masked writeback -----------------------------------------
+    par = core.slab_parity(x, dims)
+    keep = par == parity
+    old = U(mu, 0)
+    # NOTE: mats[(mu, 0)] was captured before the update; `old` re-reads the
+    # cached original tuple, while u_mu is the updated one.
+    out = tuple(
+        tuple(
+            (
+                jnp.where(keep, u_mu[i][j][0], old[i][j][0]),
+                jnp.where(keep, u_mu[i][j][1], old[i][j][1]),
+            )
+            for j in range(n)
+        )
+        for i in range(n)
+    )
+    core.store_mat(o_ref, out, n)
+
+
+@lru_cache(maxsize=None)
+def _stage_call(n, dims, mu, parity, kind, beta, k_trials, n_hit,
+                metro_delta, rng_mode, interpret):
+    """Build the jit-able pallas_call for one (mu, parity, kind) stage."""
+    X = dims[0]
+    Y, ZT = dims[1], dims[2] * dims[3]
+    slabs = _slab_set(mu)
+    block = (n, n, 2, 1, Y, ZT)
+
+    def mk_spec(dx):
+        # NB: with num_scalar_prefetch=1 the scalar ref is appended to the
+        # index_map arguments.
+        return pl.BlockSpec(
+            block, lambda i, _kref, dx=dx: (0, 0, 0, (i + dx) % X, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(X,),
+        in_specs=[mk_spec(dx) for (_, dx) in slabs],
+        out_specs=pl.BlockSpec(
+            block, lambda i, _kref: (0, 0, 0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    kern = partial(
+        _stage_kernel, mu=mu, parity=parity, kind=kind, n=n, dims=dims,
+        beta=beta, k_trials=k_trials, n_hit=n_hit, metro_delta=metro_delta,
+        rng_mode=rng_mode,
+    )
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, n, 2, X, Y, ZT), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=bool(interpret),
+    )
+
+    def apply(key2, us):
+        args = [us[d] for (d, _) in slabs]
+        return call(key2, *args)
+
+    return apply
+
+
+def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
+                 n_hit=3, metro_delta=0.35, rng_mode="threefry",
+                 interpret=False):
+    """One fused checkerboard stage on split-float state.
+
+    us: tuple of 4 arrays [N, N, 2, X, Y, Z*T] (see ops.pallas.engine).
+    Returns the new u_mu array; other directions are untouched.
+    """
+    n = us[0].shape[0]
+    apply = _stage_call(
+        n, tuple(dims), mu, parity, kind, float(beta), int(k_trials),
+        int(n_hit), float(metro_delta), rng_mode, bool(interpret),
+    )
+    return apply(key2, us)

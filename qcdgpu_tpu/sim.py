@@ -27,6 +27,8 @@ from .config import SimConfig
 from .ops import rng, sun
 from .ops.lattice import NDIM, parity_mask, site_index
 from .ops.measure import OBS_NAMES, measure_all
+
+_measure_all_jit = jax.jit(measure_all)
 from .ops.samplers import update_links
 from .ops.staples import staple_sum
 
@@ -128,12 +130,38 @@ def make_sweep_fn(cfg: SimConfig):
     return sweep
 
 
+def resolve_engine(cfg: SimConfig) -> str:
+    """Pick the execution engine for this config on this backend.
+
+    The fused Pallas engine (ops/pallas/) runs single-device float32 on
+    TPU; everything else (CPU tests, float64, SPMD multi-device meshes)
+    uses the XLA reference engine.
+    """
+    if cfg.engine != "auto":
+        return cfg.engine
+    if cfg.dtype != "complex64":
+        return "xla"
+    if int(np.prod(cfg.mesh)) != 1:
+        return "xla"  # SPMD path: XLA partitions rolls into halo exchanges
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return "xla"
+    return "pallas" if plat in ("tpu", "axon") else "xla"
+
+
 def make_chunk_runner(cfg: SimConfig):
     """jit-ed runner: n_sweeps on-device, measuring every measure_every-th.
 
     Returns run(u, base_key, sweep0, n_sweeps, measure_every) ->
     (u', obs [n_sweeps // measure_every, len(OBS_NAMES)]).
+
+    Dispatches to the fused Pallas engine on TPU (resolve_engine).
     """
+    if resolve_engine(cfg) == "pallas":
+        from .ops.pallas.engine import make_pallas_chunk_runner
+
+        return make_pallas_chunk_runner(cfg)
     sweep = make_sweep_fn(cfg)
 
     @partial(jax.jit, static_argnums=(3, 4))
@@ -213,7 +241,9 @@ class Simulation:
 
     # -- measurement ------------------------------------------------------
     def measure(self) -> dict:
-        vals = np.asarray(measure_all(self.u))
+        """One-off measurement (jitted — eager ops cost a host round-trip
+        per op, which on a tunneled TPU dominates everything else)."""
+        vals = np.asarray(_measure_all_jit(self.u))
         return dict(zip(OBS_NAMES, vals.tolist()))
 
     def unitarity_defect(self) -> float:

@@ -36,3 +36,14 @@ import pytest  # noqa: E402
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running physics tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Skip slow physics/parity tests unless RUN_SLOW=1 (they are exercised
+    by the physics-regression runs, not by the per-commit suite)."""
+    if os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow; set RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -1,0 +1,147 @@
+"""Pallas engine vs XLA reference engine (interpret mode on CPU).
+
+The fused stage kernels must reproduce the XLA engine exactly up to f32
+rounding-order: with rng_mode="threefry" both engines consume bit-identical
+per-site uniforms (core.slab_uniforms == rng.site_uniforms), so any
+disagreement beyond ~1e-5 is a stencil/indexing bug (SURVEY.md §7 hard
+part 3 — halo/parity off-by-ones are the classic failure).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qcdgpu_tpu.config import SimConfig
+from qcdgpu_tpu.ops import rng, sun
+from qcdgpu_tpu.ops.lattice import parity_mask, site_index
+from qcdgpu_tpu.ops.measure import mean_plaquette, measure_all
+from qcdgpu_tpu.ops.pallas import engine as peng
+from qcdgpu_tpu.ops.pallas import measure as pmeas
+from qcdgpu_tpu.ops.pallas import update as pupd
+from qcdgpu_tpu.ops.pallas.reunit import reunitarize_dir
+from qcdgpu_tpu.ops.samplers import update_links
+from qcdgpu_tpu.ops.staples import staple_sum
+from qcdgpu_tpu.sim import hot_start
+
+DIMS = (4, 4, 2, 4)  # X, Y, Z, T — deliberately anisotropic
+
+
+def _cfg(**kw):
+    kw.setdefault("group", 3)
+    kw.setdefault("dims", DIMS)
+    kw.setdefault("beta", 5.5)
+    kw.setdefault("seed", 1)
+    return SimConfig(**kw)
+
+
+@pytest.fixture(scope="module")
+def u0():
+    cfg = _cfg()
+    return hot_start(cfg, rng.make_base_key(1)).astype(jnp.complex64)
+
+
+@pytest.fixture(scope="module")
+def us(u0):
+    return peng.split_links(u0)
+
+
+def test_split_join_roundtrip(u0, us):
+    u_rt = peng.join_links(us, DIMS)
+    assert float(jnp.max(jnp.abs(u_rt - u0))) < 1e-7
+
+
+def _xla_stage(cfg, u, key2, parity, mu, kind):
+    a = staple_sum(u, mu)
+    new = update_links(
+        u[mu], a, kind, cfg.beta, key2, site_index(cfg.dims),
+        k_trials=cfg.kp_trials, n_hit=cfg.n_hit, metro_delta=cfg.metro_delta,
+    )
+    mask = parity_mask(cfg.dims, parity)
+    return jnp.where(mask, new, u[mu])
+
+
+def _check_stage(u0, us, kind, parity, mu):
+    cfg = _cfg()
+    key2 = rng.stage_key(rng.make_base_key(1), 0, 7)
+    ref = _xla_stage(cfg, u0, key2, parity, mu, kind)
+    new_mu = pupd.stage_update(
+        us, mu, parity, kind, cfg.beta, key2, DIMS,
+        k_trials=cfg.kp_trials, n_hit=cfg.n_hit,
+        metro_delta=cfg.metro_delta, interpret=True,
+    )
+    got = peng.join_dir(new_mu, DIMS)
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-5
+
+
+@pytest.mark.parametrize("kind,parity,mu", [
+    ("heatbath", 0, 0),
+    ("heatbath", 1, 3),
+    ("overrelax", 1, 1),
+    ("metropolis", 0, 2),
+])
+def test_stage_matches_xla(u0, us, kind, parity, mu):
+    _check_stage(u0, us, kind, parity, mu)
+
+
+@pytest.mark.parametrize("kind,parity,mu", [
+    ("heatbath", 0, 1), ("heatbath", 0, 2), ("heatbath", 0, 3),
+    ("heatbath", 1, 0), ("heatbath", 1, 1), ("heatbath", 1, 2),
+    ("overrelax", 0, 0), ("overrelax", 0, 3),
+    ("metropolis", 1, 0), ("metropolis", 1, 3),
+])
+@pytest.mark.slow
+def test_stage_matches_xla_full(u0, us, kind, parity, mu):
+    _check_stage(u0, us, kind, parity, mu)
+
+
+def test_stage_su2(u0):
+    cfg = _cfg(group=2, beta=2.4)
+    u2 = hot_start(cfg, rng.make_base_key(3)).astype(jnp.complex64)
+    us2 = peng.split_links(u2)
+    key2 = rng.stage_key(rng.make_base_key(3), 0, 2)
+    ref = _xla_stage(cfg, u2, key2, 1, 2, "heatbath")
+    new_mu = pupd.stage_update(
+        us2, 2, 1, "heatbath", cfg.beta, key2, DIMS,
+        k_trials=cfg.kp_trials, interpret=True,
+    )
+    got = peng.join_dir(new_mu, DIMS)
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-5
+
+
+def test_plaquette_kernel(u0, us):
+    n, vol = 3, int(np.prod(DIMS))
+    sums = pmeas.plane_sums(us, DIMS, interpret=True)
+    plq = float(jnp.sum(sums) / (6 * n * vol))
+    ref = float(mean_plaquette(u0)[0])
+    assert abs(plq - ref) < 1e-5
+
+
+def test_measure_all_split(u0, us):
+    got = np.asarray(peng.measure_all_split(us, DIMS, interpret=True))
+    ref = np.asarray(measure_all(u0))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_reunit_kernel(u0, us):
+    got = peng.join_dir(reunitarize_dir(us[0], DIMS, interpret=True), DIMS)
+    ref = sun.reunitarize(u0[0]).astype(jnp.complex64)
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-5
+
+
+@pytest.mark.slow
+def test_chunk_runner_matches_xla(u0):
+    """Full chunk (sweeps + fused measurements): engines agree closely."""
+    cfg = _cfg(n_or=1, reunit_every=2, engine="xla")
+    from qcdgpu_tpu.sim import make_chunk_runner
+
+    run_x = make_chunk_runner(cfg)
+    key = rng.make_base_key(1)
+    ux, obs_x = run_x(u0.astype(jnp.complex64), key, 0, 4, 2)
+
+    run_p = peng.make_pallas_chunk_runner(cfg, interpret=True)
+    up, obs_p = run_p(u0, key, 0, 4, 2)
+    # observables after 4 sweeps agree to f32 rounding accumulation
+    np.testing.assert_allclose(np.asarray(obs_p), np.asarray(obs_x),
+                               atol=5e-4)
+    assert float(jnp.max(jnp.abs(up - ux))) < 5e-3  # links drift slowly
