@@ -248,3 +248,134 @@ def hw_uniforms(n, shape):
         bits = pltpu.prng_random_bits(shape)
         out.append(bits_to_uniform(pltpu.bitcast(bits, _U32)))
     return out
+
+
+# ===========================================================================
+# Even/odd T-packed layout + two-row SU(3) codec (engine v2)
+# ===========================================================================
+#
+# Packed state: one array per (direction, parity): [R, N, 2, X, Y, Z*T2],
+# T2 = T/2.  Site (x,y,z,t) of parity p = (x+y+z+t) % 2 lives at slot
+# t // 2; within a (x,y,z) row the valid t values have parity
+# tau = (p - x - y - z) % 2.  R = 2 rows stored: the full matrix for SU(2),
+# the first two rows for SU(3) with row 2 = conj(row0 x row1) reconstructed
+# on load (the same memory-bandwidth codec as QCDGPU's packed SU(3) storage,
+# kernel/su3_matrix_memory.cl — SURVEY.md §2 "SU(N) matrix math headers");
+# det = +1 holds by construction.
+#
+# Shift rules (all parities flip per unit step):
+#   X +-1 : slab-level (BlockSpec index_map), slot unchanged
+#   Y +-1 : roll along Y, slot unchanged
+#   Z +-1 : roll along the flattened lane axis by -+T2, slot unchanged
+#   T +-1 : slot shifts by one ONLY on rows where tau_dest has the
+#           "crossing" parity; in-Z-block wrap handled like the dense case.
+
+
+def load_mat_packed(ref, n):
+    """[R, N, 2, 1, Y, ZT2]-block ref -> full N x N matrix tuple."""
+    rows = [
+        tuple((ref[r, j, 0, 0], ref[r, j, 1, 0]) for j in range(n))
+        for r in range(2)
+    ]
+    if n == 2:
+        return (rows[0], rows[1])
+    # SU(3): row2 = conj(row0 x row1)
+    r0, r1 = rows
+
+    def cx(a, b):
+        return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
+
+    r2 = tuple(
+        conj((cx(r0[(k + 1) % 3], r1[(k + 2) % 3])[0]
+              - cx(r0[(k + 2) % 3], r1[(k + 1) % 3])[0],
+              cx(r0[(k + 1) % 3], r1[(k + 2) % 3])[1]
+              - cx(r0[(k + 2) % 3], r1[(k + 1) % 3])[1]))
+        for k in range(3)
+    )
+    return (r0, r1, r2)
+
+
+def store_mat_packed(ref, m, n):
+    """Store the first two rows (codec for SU(3), full matrix for SU(2))."""
+    for r in range(2):
+        for j in range(n):
+            ref[r, j, 0, 0] = m[r][j][0]
+            ref[r, j, 1, 0] = m[r][j][1]
+
+
+def _tau_mask(p_dest, x, dims2):
+    """bool [Y, ZT2]: tau_dest == 1 rows (slot-crossing rows for T shifts).
+
+    tau_dest = (p_dest - x - y - z) % 2; constant along the T2 factor.
+    """
+    _, y_dim, z_dim, t2 = dims2
+    zt2 = z_dim * t2
+    y = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt2), 0)
+    f = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt2), 1)
+    z = f // t2
+    return ((p_dest + x + y + z) % 2) == 1
+
+
+def shift_comp_packed(v, lat_axis, d, p_dest, x, dims2):
+    """f'(site) = f(site + d*axis_hat) on packed [Y, ZT2] components.
+
+    v holds the source field (parity 1 - p_dest relative to the output
+    alignment); p_dest is the static parity of the DESTINATION site set and
+    x the scalar grid-slab index (both enter only the T-shift row masks).
+    """
+    _, y_dim, z_dim, t2 = dims2
+    zt2 = z_dim * t2
+    if lat_axis == 1:
+        return pltpu.roll(v, (-d) % y_dim, axis=0)
+    if lat_axis == 2:
+        return pltpu.roll(v, ((-d) * t2) % zt2, axis=1)
+    if lat_axis == 3:
+        k_ids = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) % t2
+        cross = _tau_mask(p_dest if d == 1 else 1 - p_dest, x, dims2)
+        if d == 1:
+            # crossing rows (tau_dest == 1): slot k <- k+1, Z-block wrap
+            moved = jnp.where(
+                k_ids == t2 - 1,
+                pltpu.roll(v, (t2 - 1) % zt2, axis=1),
+                pltpu.roll(v, (zt2 - 1) % zt2, axis=1),
+            )
+        elif d == -1:
+            # crossing rows (tau_dest == 0): slot k <- k-1, Z-block wrap
+            moved = jnp.where(
+                k_ids == 0,
+                pltpu.roll(v, (1 - t2) % zt2, axis=1),
+                pltpu.roll(v, 1, axis=1),
+            )
+        else:
+            raise ValueError("|d| must be 1 for T shifts")
+        return jnp.where(cross, moved, v)
+    raise ValueError(f"in-block packed shift on lattice axis {lat_axis}")
+
+
+def shift_mat_packed(m, lat_axis, d, p_dest, x, dims2):
+    return mmap(
+        lambda c: (
+            shift_comp_packed(c[0], lat_axis, d, p_dest, x, dims2),
+            shift_comp_packed(c[1], lat_axis, d, p_dest, x, dims2),
+        ),
+        m,
+    )
+
+
+def slab_site_index_packed(x, parity, dims):
+    """uint32 [Y, ZT2] of global DENSE site indices of the packed slots.
+
+    Global index matches ops.lattice.site_index on the unpacked lattice, so
+    threefry streams are identical between dense and packed engines.
+    """
+    _, y_dim, z_dim, t_dim = dims
+    t2 = t_dim // 2
+    zt2 = z_dim * t2
+    y = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt2), 0)
+    f = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt2), 1)
+    z = f // t2
+    k = f % t2
+    tau = (parity + x + y + z) % 2  # t = 2k + tau
+    t = 2 * k + tau
+    idx = ((x * y_dim + y) * z_dim + z) * t_dim + t
+    return idx.astype(_U32)

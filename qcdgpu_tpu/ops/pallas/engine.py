@@ -1,17 +1,19 @@
-"""Pallas engine: split-float state layout, sweeps, and measurements.
+"""Pallas engine: packed state layout, sweeps, and measurements.
 
-The engine state is a 4-tuple of per-direction float32 arrays
-``[N, N, 2, X, Y, Z*T]`` (re/im split — Mosaic has no complex support; Z*T
-flattened onto the lane axis).  A sweep is 8+ fused stage kernels
-(ops.pallas.update); observables come from the fused plaquette reduction
-(ops.pallas.measure) plus the XLA Polyakov product on the reconstructed
-complex field.  Conversions to/from the canonical complex layout happen
-once per chunk, not per sweep.
+Engine state is a flat 8-tuple us[2*mu + parity] of float32 arrays
+``[2, N, 2, X, Y, Z*T/2]``: even/odd T-packed (each array holds only the
+links whose base site has that parity — no masked-update waste) and
+two-row SU(3) codec (row 2 reconstructed as conj(row0 x row1) on load;
+det = +1 by construction).  See core.py "engine v2" for the layout and
+shift rules.  A sweep is 8+ fused stage kernels (ops.pallas.update);
+observables come from the fused plaquette reduction (ops.pallas.measure)
+plus the XLA Polyakov product on the reconstructed complex field.
+Conversions to/from the canonical complex layout happen once per chunk.
 
 Bit-compatibility: with rng_mode="threefry" the stage kernels consume the
-exact same per-site uniforms as the XLA engine (ops.rng keyed by global
-site index), so both engines sample identical Markov chains up to f32
-rounding-order differences in the matrix arithmetic.
+exact same per-site uniforms as the XLA engine (global site indices are
+preserved by the packing), so both engines sample identical Markov chains
+up to f32 rounding-order differences in the matrix arithmetic.
 """
 
 from __future__ import annotations
@@ -36,38 +38,79 @@ NDIM = 4
 # ---------------------------------------------------------------------------
 
 
+def _sigma(dims):
+    """(x+y+z) % 2 over [X, Y, Z, 1] (broadcastable against T2 slots)."""
+    x, y, z, _ = dims
+    g = (
+        jnp.arange(x).reshape(x, 1, 1, 1)
+        + jnp.arange(y).reshape(1, y, 1, 1)
+        + jnp.arange(z).reshape(1, 1, z, 1)
+    )
+    return g % 2
+
+
 def split_links(u):
-    """Complex [4, N, N, X, Y, Z, T] -> tuple of 4 f32 [N, N, 2, X, Y, Z*T]."""
-    x, y, z, t = u.shape[3:]
+    """Complex [4, N, N, X, Y, Z, T] -> 8-tuple us[2*mu+p] of
+    [2, N, 2, X, Y, Z*T/2] f32 (packed, two-row codec)."""
+    dims = u.shape[3:]
+    x, y, z, t = dims
+    sig = _sigma(dims)[None, None, None]  # [1,1,1,X,Y,Z,1]
     out = []
     for mu in range(NDIM):
-        m = u[mu]
+        m = u[mu][:2]  # codec: rows 0..1 (full matrix when N == 2)
         s = jnp.stack([jnp.real(m), jnp.imag(m)], axis=2).astype(jnp.float32)
-        out.append(s.reshape(s.shape[0], s.shape[1], 2, x, y, z * t))
+        even = s[..., 0::2]  # t = 2k
+        odd = s[..., 1::2]   # t = 2k + 1
+        for p in range(2):
+            # tau_p = (p + sigma) % 2: 0 -> even slots, 1 -> odd slots
+            take_even = (sig + p) % 2 == 0
+            pk = jnp.where(take_even, even, odd)
+            out.append(pk.reshape(pk.shape[:3] + (x, y, z * (t // 2))))
     return tuple(out)
 
 
+def _row2(m2):
+    """Reconstruct SU(3) row 2 = conj(row0 x row1) on complex [2,3,...]."""
+    r0, r1 = m2[0], m2[1]
+    cr = jnp.stack(
+        [
+            r0[1] * r1[2] - r0[2] * r1[1],
+            r0[2] * r1[0] - r0[0] * r1[2],
+            r0[0] * r1[1] - r0[1] * r1[0],
+        ],
+        axis=0,
+    )
+    return jnp.conj(cr)
+
+
+def join_dir(pk_pair, dims, n):
+    """(us[2mu], us[2mu+1]) back to complex [N, N, X, Y, Z, T]."""
+    x, y, z, t = dims
+    t2 = t // 2
+    sig = _sigma(dims)[None, None]  # [1,1,X,Y,Z,1]
+    dense = []
+    for p in (0, 1):
+        s = pk_pair[p].reshape(2, n, 2, x, y, z, t2)
+        dense.append(s[:, :, 0] + 1j * s[:, :, 1])  # [2, N, X,Y,Z,T2] complex
+    # even t slots come from the field with tau_p = 0, i.e. p = sigma
+    even = jnp.where(sig == 0, dense[0], dense[1])
+    odd = jnp.where(sig == 0, dense[1], dense[0])
+    inter = jnp.stack([even, odd], axis=-1).reshape(2, n, x, y, z, t)
+    if n == 3:
+        inter = jnp.concatenate([inter, _row2(inter)[None]], axis=0)
+    return inter.astype(jnp.complex64)
+
+
 def join_links(us, dims):
-    """Inverse of split_links."""
-    x, y, z, t = dims
-    mats = []
-    for s in us:
-        n = s.shape[0]
-        s = s.reshape(n, n, 2, x, y, z, t)
-        mats.append(s[:, :, 0] + 1j * s[:, :, 1])
-    return jnp.stack(mats, axis=0).astype(jnp.complex64)
-
-
-def join_dir(s, dims):
-    """One direction back to complex [N, N, X, Y, Z, T]."""
-    x, y, z, t = dims
-    n = s.shape[0]
-    s = s.reshape(n, n, 2, x, y, z, t)
-    return (s[:, :, 0] + 1j * s[:, :, 1]).astype(jnp.complex64)
+    n = us[0].shape[1]
+    return jnp.stack(
+        [join_dir((us[2 * mu], us[2 * mu + 1]), dims, n) for mu in range(NDIM)],
+        axis=0,
+    )
 
 
 # ---------------------------------------------------------------------------
-# sweep / measurement on split state
+# sweep / measurement on packed state
 # ---------------------------------------------------------------------------
 
 
@@ -90,10 +133,11 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False):
             for parity in (0, 1):
                 for mu in range(NDIM):
                     key2 = rng.stage_key(base_key, sweep_idx, stage_id)
-                    new_mu = pupdate.stage_update(
+                    new = pupdate.stage_update(
                         us, mu, parity, kind, cfg.beta, key2, dims, **kw
                     )
-                    us = us[:mu] + (new_mu,) + us[mu + 1:]
+                    k = 2 * mu + parity
+                    us = us[:k] + (new,) + us[k + 1:]
                     stage_id += 1
         if cfg.reunit_every > 0:
             def do_reunit(us):
@@ -110,15 +154,15 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False):
 
 
 def measure_all_split(us, dims, interpret=False):
-    """Same observable vector as ops.measure.measure_all, from split state."""
-    n = us[0].shape[0]
+    """Same observable vector as ops.measure.measure_all, from packed state."""
+    n = us[0].shape[1]
     vol = dims[0] * dims[1] * dims[2] * dims[3]
     sums = pmeasure.plane_sums(us, dims, interpret=interpret) / (n * vol)
     # PLANES order: (0,1),(0,2),(0,3),(1,2),(1,3),(2,3); temporal = nu==3
     plq_s = (sums[0] + sums[1] + sums[3]) / 3.0
     plq_t = (sums[2] + sums[4] + sums[5]) / 3.0
     plq = 0.5 * (plq_s + plq_t)
-    ut = join_dir(us[3], dims)
+    ut = join_dir((us[6], us[7]), dims, n)
     pre, pim = polyakov_from_ut(ut)
     action = 1.0 - plq
     return jnp.stack([

@@ -1,9 +1,9 @@
-"""Pallas reunitarization kernel (projection back onto SU(N)).
+"""Pallas reunitarization kernel on packed two-row state.
 
-Same math as ops.sun.reunitarize — SU(3): Gram–Schmidt on the first two
-rows + conj-cross-product third row (det = +1 exactly); SU(2): quaternion
-renormalization — but fused per x-slab with no neighbor access, so it costs
-one read + one write of the direction field.  Counterpart of QCDGPU's
+Same math as ops.sun.reunitarize — SU(3): Gram–Schmidt on the two stored
+rows (row 2 is implicit in the codec, always conj(row0 x row1), so only
+the stored rows need projection); SU(2): quaternion renormalization —
+fused per x-slab with no neighbor access.  Counterpart of QCDGPU's
 reunitarize kernel (SURVEY.md §2 "Update kernels").
 """
 
@@ -20,7 +20,11 @@ from . import core
 
 
 def _reunit_kernel(i_ref, o_ref, *, n):
-    m = core.load_mat(i_ref, n)
+    # load the two stored rows directly (no row-2 reconstruction needed)
+    m = tuple(
+        tuple((i_ref[r, j, 0, 0], i_ref[r, j, 1, 0]) for j in range(n))
+        for r in range(2)
+    )
     if n == 2:
         # quaternion projection + renormalize (ops.sun.mat_to_quat et al.)
         a0 = 0.5 * (m[0][0][0] + m[1][1][0])
@@ -54,34 +58,20 @@ def _reunit_kernel(i_ref, o_ref, *, n):
             for c0, c1 in zip(r0, m[1])
         )
         r1 = norm_row(r1)
-        # r2 = conj(r0 x r1)
-        def cross(a, b):
-            return core.conj(
-                (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
-            )
-
-        def cxm(a, b):  # a*b on pairs
-            return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
-
-        def csub(a, b):
-            return (a[0] - b[0], a[1] - b[1])
-
-        r2 = tuple(
-            core.conj(csub(cxm(r0[(k + 1) % 3], r1[(k + 2) % 3]),
-                           cxm(r0[(k + 2) % 3], r1[(k + 1) % 3])))
-            for k in range(3)
-        )
-        out = (r0, r1, r2)
+        out = (r0, r1)
     else:
         raise NotImplementedError(n)
-    core.store_mat(o_ref, out, n)
+    for r in range(2):
+        for j in range(n):
+            o_ref[r, j, 0, 0] = out[r][j][0]
+            o_ref[r, j, 1, 0] = out[r][j][1]
 
 
 @lru_cache(maxsize=None)
 def _reunit_call(n, dims, interpret):
     X = dims[0]
-    Y, ZT = dims[1], dims[2] * dims[3]
-    block = (n, n, 2, 1, Y, ZT)
+    Y, ZT2 = dims[1], dims[2] * (dims[3] // 2)
+    block = (2, n, 2, 1, Y, ZT2)
     spec = pl.BlockSpec(block, lambda i: (0, 0, 0, i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -89,7 +79,7 @@ def _reunit_call(n, dims, interpret):
         grid=(X,),
         in_specs=[spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((n, n, 2, X, Y, ZT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, n, 2, X, Y, ZT2), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
@@ -98,6 +88,6 @@ def _reunit_call(n, dims, interpret):
 
 
 def reunitarize_dir(s, dims, interpret=False):
-    """Project one split-float direction field back onto SU(N)."""
-    n = s.shape[0]
+    """Project one packed (direction, parity) field back onto SU(N)."""
+    n = s.shape[1]
     return _reunit_call(n, tuple(dims), bool(interpret))(s)

@@ -1,25 +1,27 @@
 """Fused Pallas stage kernels: staples + Cabibbo–Marinari update in VMEM.
 
-One kernel application = one checkerboard stage (parity p, direction mu):
-for every site of one x-slab it gathers the 6 staples, forms W = U A, runs
-the subgroup sampler (Kennedy–Pendleton heat-bath / overrelaxation /
-multi-hit Metropolis — the same algorithms as qcdgpu_tpu.ops.samplers, which
-remains the XLA reference engine), and writes the parity-masked new link —
-all in VMEM, with randomness generated in-kernel.  This is the TPU-native
-counterpart of QCDGPU's fused update kernels (kernel/su2_update_cl.cl,
-su3_update_cl.cl — SURVEY.md §2 "Update kernels"), replacing a ~50-kernel
-XLA graph per stage (hundreds of HBM-materialized temporaries) with one
-pass over the link field.
+One kernel application = one checkerboard stage (parity p, direction mu) on
+the *even/odd T-packed, two-row-codec* state (core.py "engine v2" helpers):
+for every parity-p site of one x-slab it gathers the 6 staples, forms
+W = U A, runs the subgroup sampler (Kennedy–Pendleton heat-bath /
+overrelaxation / multi-hit Metropolis — the same algorithms as
+qcdgpu_tpu.ops.samplers, the XLA reference engine), and stores the first
+two rows of the new link — all in VMEM, randomness generated in-kernel.
+This is the TPU-native counterpart of QCDGPU's fused update kernels
+(kernel/su2_update_cl.cl, su3_update_cl.cl — SURVEY.md §2 "Update
+kernels"), and the packed layout removes the 2x masked-update waste of a
+dense checkerboard (SURVEY.md §7 design stance: "Even/odd as a leading
+split, not a mask").
 
-Halo structure: grid over X.  The seven slabs each stage needs (center
-slabs of every direction plus the X±1 slabs listed in _slab_set) arrive as
-separate inputs whose index_map points at the wrapped neighbor block; all
-Y/Z/T shifts are VMEM rolls (core.shift_comp).
+Halo structure: grid over X.  Required (direction, parity, x-offset) slabs
+are *derived* by running the staple recipe once against a recording
+context (_PlanCtx) — the kernel then replays the identical recipe against
+real refs (_LoadCtx), so plan and compute cannot diverge.
 
-RNG: rng_mode="threefry" draws bit-identically to the XLA engine
-(core.slab_uniforms == ops.rng.site_uniforms).  rng_mode="hw" uses the TPU
-hardware PRNG seeded per (key, stage, x-slab): ~60 u32-ops/uniform cheaper,
-statistically equivalent, not bit-compatible.
+RNG: rng_mode="threefry" draws bit-identically to the XLA engine for every
+physical site (core.slab_site_index_packed preserves global site indices).
+rng_mode="hw" uses the TPU hardware PRNG — faster, statistically
+equivalent, not bit-compatible.
 """
 
 from __future__ import annotations
@@ -33,8 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import core
 
+NDIM = 4
+
 # ---------------------------------------------------------------------------
-# quaternions as 4-tuples of [Y, ZT] f32 arrays (see ops.sun conventions)
+# quaternions as 4-tuples of [Y, ZT2] f32 arrays (see ops.sun conventions)
 # ---------------------------------------------------------------------------
 
 
@@ -154,18 +158,112 @@ def metropolis_flip(q_w, two_beta_over_n, uu, n_hit, delta):
 
 
 # ---------------------------------------------------------------------------
-# slab plumbing
+# slab planning: run the recipe once against a recorder, once against refs
 # ---------------------------------------------------------------------------
 
 
-def _slab_set(mu):
-    """The (dir, x-offset) slabs stage mu reads (SURVEY.md §7 hard part 2)."""
-    if mu == 0:
-        return [(0, 0), (1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)]
-    others = [d for d in range(1, 4) if d != mu]
-    return [(mu, 0), (mu, 1), (mu, -1), (0, 0), (0, -1)] + [
-        (d, 0) for d in others
-    ]
+class _PlanCtx:
+    """Records the (dir, parity, dx) slabs a recipe touches.
+
+    Matrix values are plain-float dummies so the recipe's arithmetic runs
+    without tracing anything.
+    """
+
+    def __init__(self, p, n):
+        self.p = p
+        self.n = n
+        self.slabs = []
+
+    def U(self, d, dx=0, shifts=()):
+        par = (self.p + dx + len(shifts)) % 2
+        key = (d, par, dx)
+        if key not in self.slabs:
+            self.slabs.append(key)
+        one = (1.0, 0.0)
+        return tuple(tuple(one for _ in range(self.n)) for _ in range(self.n))
+
+    def shifted(self, d, lat_axis, delta, extra=()):
+        if lat_axis == 0:
+            return self.U(d, dx=delta, shifts=tuple(extra))
+        return self.U(d, dx=0, shifts=((lat_axis, delta),) + tuple(extra))
+
+
+class _LoadCtx:
+    """Resolves recipe reads against the kernel's slab refs."""
+
+    def __init__(self, p, n, slabs, refs, x, dims2):
+        self.p = p
+        self.n = n
+        self.slabs = slabs
+        self.refs = refs
+        self.x = x
+        self.dims2 = dims2
+        self._cache = {}
+
+    def _load(self, d, par, dx):
+        key = (d, par, dx)
+        if key not in self._cache:
+            ref = self.refs[self.slabs.index(key)]
+            self._cache[key] = core.load_mat_packed(ref, self.n)
+        return self._cache[key]
+
+    def U(self, d, dx=0, shifts=()):
+        par = (self.p + dx + len(shifts)) % 2
+        m = self._load(d, par, dx)
+        a = par
+        for ax, dd in shifts:
+            a = (a + 1) % 2
+            m = core.shift_mat_packed(m, ax, dd, a, self.x + dx, self.dims2)
+        return m
+
+    def shifted(self, d, lat_axis, delta, extra=()):
+        if lat_axis == 0:
+            return self.U(d, dx=delta, shifts=tuple(extra))
+        return self.U(d, dx=0, shifts=((lat_axis, delta),) + tuple(extra))
+
+
+def _staple_W(ctx, mu):
+    """The staple sum A and W = U A via a ctx (same contractions as
+    ops.staples.staple_sum; during planning matrix values are dummies)."""
+    acc = None
+    for nu in range(NDIM):
+        if nu == mu:
+            continue
+        # forward: U_nu(x+mu) [U_nu(x) U_mu(x+nu)]^+
+        inner = core.mmul(ctx.U(nu), ctx.shifted(mu, nu, 1))
+        fwd = core.mmul_bdag(ctx.shifted(nu, mu, 1), inner)
+        # backward: [U_mu(x-nu) U_nu(x+mu-nu)]^+ U_nu(x-nu)
+        s2 = _shift2(ctx, nu, mu, 1, nu, -1)
+        bwd = core.mmul(
+            core.mdag(core.mmul(ctx.shifted(mu, nu, -1), s2)),
+            ctx.shifted(nu, nu, -1),
+        )
+        term = core.madd(fwd, bwd)
+        acc = term if acc is None else core.madd(acc, term)
+    u_mu = ctx.U(mu)
+    return u_mu, core.mmul(u_mu, acc)
+
+
+def _shift2(ctx, d, ax_a, da, ax_b, db):
+    """shift2(u_d, ax_a, da, ax_b, db) — two-axis shift."""
+    if ax_a == 0:
+        return ctx.U(d, dx=da, shifts=((ax_b, db),))
+    if ax_b == 0:
+        return ctx.U(d, dx=db, shifts=((ax_a, da),))
+    return ctx.U(d, dx=0, shifts=((ax_a, da), (ax_b, db)))
+
+
+def stage_slabs(mu, parity, n):
+    """The (dir, parity, dx) slab list for stage (parity, mu)."""
+    plan = _PlanCtx(parity, n)
+    plan.U(mu)  # the update target comes first
+    _staple_W(plan, mu)
+    return tuple(plan.slabs)
+
+
+# ---------------------------------------------------------------------------
+# subgroup schedule
+# ---------------------------------------------------------------------------
 
 
 def _subgroups(n):
@@ -188,64 +286,27 @@ def _uniforms_per_subgroup(kind, k_trials, n_hit):
 
 
 def _stage_kernel(key_ref, *refs, mu, parity, kind, n, dims, beta, k_trials,
-                  n_hit, metro_delta, rng_mode):
-    slabs = _slab_set(mu)
+                  n_hit, metro_delta, rng_mode, slabs):
     o_ref = refs[-1]
-    mats = {}
+    x = pl.program_id(0)
+    dims2 = (dims[0], dims[1], dims[2], dims[3] // 2)
+    ctx = _LoadCtx(parity, n, slabs, refs[:-1], x, dims2)
 
-    def U(d, dx=0, shifts=()):
-        if (d, dx) not in mats:
-            mats[(d, dx)] = core.load_mat(refs[slabs.index((d, dx))], n)
-        m = mats[(d, dx)]
-        for ax, dd in shifts:
-            m = core.shift_mat(m, ax, dd, dims)
-        return m
-
-    def shifted(d, lat_axis, delta, extra=()):
-        """shift(u_d, lat_axis, delta) with optional extra in-block shifts."""
-        if lat_axis == 0:
-            return U(d, delta, extra)
-        return U(d, 0, ((lat_axis, delta),) + tuple(extra))
-
-    # --- staple accumulation (same contractions as ops.staples) ----------
-    acc = None
-    for nu in range(4):
-        if nu == mu:
-            continue
-        # forward: U_nu(x+mu) [U_nu(x) U_mu(x+nu)]^+
-        inner = core.mmul(U(nu, 0), shifted(mu, nu, 1))
-        fwd = core.mmul_bdag(shifted(nu, mu, 1), inner)
-        # backward: [U_mu(x-nu) U_nu(x+mu-nu)]^+ U_nu(x-nu)
-        if mu == 0:
-            s2 = U(nu, 1, ((nu, -1),))
-        elif nu == 0:
-            s2 = U(0, -1, ((mu, 1),))
-        else:
-            s2 = U(nu, 0, ((mu, 1), (nu, -1)))
-        bwd = core.mmul(core.mdag(core.mmul(shifted(mu, nu, -1), s2)),
-                        shifted(nu, nu, -1))
-        term = core.madd(fwd, bwd)
-        acc = term if acc is None else core.madd(acc, term)
-
-    u_mu = U(mu, 0)
-    w = core.mmul(u_mu, acc)
+    u_mu, w = _staple_W(ctx, mu)
 
     # --- randomness -------------------------------------------------------
-    x = pl.program_id(0)
     sgs = _subgroups(n)
     per = _uniforms_per_subgroup(kind, k_trials, n_hit)
     per_slots = (per + 1) // 2
-    shape = (dims[1], dims[2] * dims[3])
+    shape = (dims2[1], dims2[2] * dims2[3])
     if per and rng_mode == "hw":
-        # fold the slab index into the two seed words (prng_seed takes at
-        # most 2 values); the hardware PRNG hashes the seeds further
         xu = x.astype(jnp.uint32) if hasattr(x, "astype") else jnp.uint32(x)
         pltpu.prng_seed(
             key_ref[0] ^ (xu * jnp.uint32(0x9E3779B9)), key_ref[1] + xu
         )
         u_all = core.hw_uniforms(2 * per_slots * len(sgs), shape)
     elif per:
-        sidx = core.slab_site_index(x, dims)
+        sidx = core.slab_site_index_packed(x, parity, dims)
         u_all = core.slab_uniforms(
             key_ref[0], key_ref[1], sidx, 2 * per_slots * len(sgs)
         )
@@ -268,23 +329,7 @@ def _stage_kernel(key_ref, *refs, mu, parity, kind, n, dims, beta, k_trials,
         u_mu = subgroup_left_mul(flip, i, j, u_mu)
         w = subgroup_left_mul(flip, i, j, w)
 
-    # --- parity-masked writeback -----------------------------------------
-    par = core.slab_parity(x, dims)
-    keep = par == parity
-    old = U(mu, 0)
-    # NOTE: mats[(mu, 0)] was captured before the update; `old` re-reads the
-    # cached original tuple, while u_mu is the updated one.
-    out = tuple(
-        tuple(
-            (
-                jnp.where(keep, u_mu[i][j][0], old[i][j][0]),
-                jnp.where(keep, u_mu[i][j][1], old[i][j][1]),
-            )
-            for j in range(n)
-        )
-        for i in range(n)
-    )
-    core.store_mat(o_ref, out, n)
+    core.store_mat_packed(o_ref, u_mu, n)
 
 
 @lru_cache(maxsize=None)
@@ -292,9 +337,9 @@ def _stage_call(n, dims, mu, parity, kind, beta, k_trials, n_hit,
                 metro_delta, rng_mode, interpret):
     """Build the jit-able pallas_call for one (mu, parity, kind) stage."""
     X = dims[0]
-    Y, ZT = dims[1], dims[2] * dims[3]
-    slabs = _slab_set(mu)
-    block = (n, n, 2, 1, Y, ZT)
+    Y, ZT2 = dims[1], dims[2] * (dims[3] // 2)
+    slabs = stage_slabs(mu, parity, n)
+    block = (2, n, 2, 1, Y, ZT2)
 
     def mk_spec(dx):
         # NB: with num_scalar_prefetch=1 the scalar ref is appended to the
@@ -307,7 +352,7 @@ def _stage_call(n, dims, mu, parity, kind, beta, k_trials, n_hit,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(X,),
-        in_specs=[mk_spec(dx) for (_, dx) in slabs],
+        in_specs=[mk_spec(dx) for (_, _, dx) in slabs],
         out_specs=pl.BlockSpec(
             block, lambda i, _kref: (0, 0, 0, i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -316,12 +361,12 @@ def _stage_call(n, dims, mu, parity, kind, beta, k_trials, n_hit,
     kern = partial(
         _stage_kernel, mu=mu, parity=parity, kind=kind, n=n, dims=dims,
         beta=beta, k_trials=k_trials, n_hit=n_hit, metro_delta=metro_delta,
-        rng_mode=rng_mode,
+        rng_mode=rng_mode, slabs=slabs,
     )
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, n, 2, X, Y, ZT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, n, 2, X, Y, ZT2), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -329,7 +374,7 @@ def _stage_call(n, dims, mu, parity, kind, beta, k_trials, n_hit,
     )
 
     def apply(key2, us):
-        args = [us[d] for (d, _) in slabs]
+        args = [us[2 * d + par] for (d, par, _) in slabs]
         return call(key2, *args)
 
     return apply
@@ -338,12 +383,12 @@ def _stage_call(n, dims, mu, parity, kind, beta, k_trials, n_hit,
 def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
                  n_hit=3, metro_delta=0.35, rng_mode="threefry",
                  interpret=False):
-    """One fused checkerboard stage on split-float state.
+    """One fused checkerboard stage on packed state.
 
-    us: tuple of 4 arrays [N, N, 2, X, Y, Z*T] (see ops.pallas.engine).
-    Returns the new u_mu array; other directions are untouched.
+    us: tuple of 8 arrays [2, N, 2, X, Y, Z*T/2] indexed us[2*mu + parity]
+    (see ops.pallas.engine).  Returns the new us[2*mu + parity] array.
     """
-    n = us[0].shape[0]
+    n = us[0].shape[1]
     apply = _stage_call(
         n, tuple(dims), mu, parity, kind, float(beta), int(k_trials),
         int(n_hit), float(metro_delta), rng_mode, bool(interpret),

@@ -65,12 +65,14 @@ def _check_stage(u0, us, kind, parity, mu):
     cfg = _cfg()
     key2 = rng.stage_key(rng.make_base_key(1), 0, 7)
     ref = _xla_stage(cfg, u0, key2, parity, mu, kind)
-    new_mu = pupd.stage_update(
+    new = pupd.stage_update(
         us, mu, parity, kind, cfg.beta, key2, DIMS,
         k_trials=cfg.kp_trials, n_hit=cfg.n_hit,
         metro_delta=cfg.metro_delta, interpret=True,
     )
-    got = peng.join_dir(new_mu, DIMS)
+    k = 2 * mu + parity
+    us2 = us[:k] + (new,) + us[k + 1:]
+    got = peng.join_dir((us2[2 * mu], us2[2 * mu + 1]), DIMS, 3)
     assert float(jnp.max(jnp.abs(got - ref))) < 2e-5
 
 
@@ -101,11 +103,12 @@ def test_stage_su2(u0):
     us2 = peng.split_links(u2)
     key2 = rng.stage_key(rng.make_base_key(3), 0, 2)
     ref = _xla_stage(cfg, u2, key2, 1, 2, "heatbath")
-    new_mu = pupd.stage_update(
+    new = pupd.stage_update(
         us2, 2, 1, "heatbath", cfg.beta, key2, DIMS,
         k_trials=cfg.kp_trials, interpret=True,
     )
-    got = peng.join_dir(new_mu, DIMS)
+    us3 = us2[:5] + (new,) + us2[6:]
+    got = peng.join_dir((us3[4], us3[5]), DIMS, 2)
     assert float(jnp.max(jnp.abs(got - ref))) < 2e-5
 
 
@@ -124,7 +127,9 @@ def test_measure_all_split(u0, us):
 
 
 def test_reunit_kernel(u0, us):
-    got = peng.join_dir(reunitarize_dir(us[0], DIMS, interpret=True), DIMS)
+    pair = (reunitarize_dir(us[0], DIMS, interpret=True),
+            reunitarize_dir(us[1], DIMS, interpret=True))
+    got = peng.join_dir(pair, DIMS, 3)
     ref = sun.reunitarize(u0[0]).astype(jnp.complex64)
     assert float(jnp.max(jnp.abs(got - ref))) < 2e-5
 
