@@ -28,8 +28,14 @@ def make_ensemble_runner(cfg: SimConfig):
     measure_every) -> (us', obs [C, n_meas, n_obs]).
 
     The per-chain beta must enter the sweep as a traced value, so the sweep
-    function is built with beta baked out and passed through.
+    function is built with beta baked out and passed through.  On TPU the
+    fused Pallas stage kernels are used (beta rides the scalar-prefetch
+    channel, so one compiled kernel serves the whole grid).
     """
+    from ..sim import resolve_engine
+
+    if resolve_engine(cfg) == "pallas":
+        return _make_pallas_ensemble_runner(cfg)
     sweep = make_sweep_fn_beta(cfg)
 
     @partial(jax.jit, static_argnums=(4, 5))
@@ -64,6 +70,46 @@ def make_ensemble_runner(cfg: SimConfig):
 def make_sweep_fn_beta(cfg: SimConfig):
     """sim.make_sweep_fn's sweep already accepts a traced beta override."""
     return make_sweep_fn(cfg)
+
+
+def _make_pallas_ensemble_runner(cfg: SimConfig, interpret=False):
+    """Pallas ensemble runner: vmap over chains of the fused stage kernels
+    (the batch axis becomes an extra grid dimension per kernel)."""
+    from ..ops.pallas import engine as peng
+
+    sweep = peng.make_pallas_sweep(cfg, interpret=interpret)
+    dims = tuple(cfg.dims)
+
+    @partial(jax.jit, static_argnums=(4, 5))
+    def run(us, betas, keys, sweep0, n_sweeps, measure_every):
+        def one_chain(u, beta, key):
+            s = peng.split_links(u)
+
+            def sweeps_only(s, first, count):
+                return jax.lax.fori_loop(
+                    0, count, lambda i, s: sweep(s, key, first + i, beta), s
+                )
+
+            if not measure_every:
+                s = sweeps_only(s, sweep0, n_sweeps)
+                return (peng.join_links(s, dims),
+                        jnp.zeros((0, len(OBS_NAMES)), jnp.float32))
+
+            n_blocks = n_sweeps // measure_every
+            rem = n_sweeps - n_blocks * measure_every
+
+            def block(s, b):
+                s = sweeps_only(s, sweep0 + b * measure_every, measure_every)
+                return s, peng.measure_all_split(s, dims, interpret=interpret)
+
+            s, obs = jax.lax.scan(block, s, jnp.arange(n_blocks))
+            if rem:
+                s = sweeps_only(s, sweep0 + n_blocks * measure_every, rem)
+            return peng.join_links(s, dims), obs
+
+        return jax.vmap(one_chain)(us, betas, keys)
+
+    return run
 
 
 class BetaScan:

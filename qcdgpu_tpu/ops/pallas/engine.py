@@ -127,14 +127,17 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False):
         rng_mode=cfg.rng_mode, interpret=interpret,
     )
 
-    def sweep(us, base_key, sweep_idx):
+    def sweep(us, base_key, sweep_idx, beta=None):
+        # beta=None uses the static cfg.beta; a traced scalar supports the
+        # beta-scan/ensemble path with one compiled kernel per stage.
+        b = cfg.beta if beta is None else beta
         stage_id = 0
         for kind in kinds:
             for parity in (0, 1):
                 for mu in range(NDIM):
                     key2 = rng.stage_key(base_key, sweep_idx, stage_id)
                     new = pupdate.stage_update(
-                        us, mu, parity, kind, cfg.beta, key2, dims, **kw
+                        us, mu, parity, kind, b, key2, dims, **kw
                     )
                     k = 2 * mu + parity
                     us = us[:k] + (new,) + us[k + 1:]

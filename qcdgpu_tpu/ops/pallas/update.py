@@ -285,12 +285,15 @@ def _uniforms_per_subgroup(kind, k_trials, n_hit):
 # ---------------------------------------------------------------------------
 
 
-def _stage_kernel(key_ref, *refs, mu, parity, kind, n, dims, beta, k_trials,
-                  n_hit, metro_delta, rng_mode, slabs):
+def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
+                  k_trials, n_hit, metro_delta, rng_mode, slabs):
+    # beta arrives as a (1, 1) SMEM scalar so one compiled kernel serves
+    # every coupling — the beta-scan/ensemble path passes a traced beta
     o_ref = refs[-1]
     x = pl.program_id(0)
     dims2 = (dims[0], dims[1], dims[2], dims[3] // 2)
     ctx = _LoadCtx(parity, n, slabs, refs[:-1], x, dims2)
+    beta = beta_ref[0, 0]
 
     u_mu, w = _staple_W(ctx, mu)
 
@@ -312,7 +315,7 @@ def _stage_kernel(key_ref, *refs, mu, parity, kind, n, dims, beta, k_trials,
         )
 
     # --- Cabibbo–Marinari subgroup sweep ---------------------------------
-    two_beta_over_n = jnp.float32(2.0 * beta / n)
+    two_beta_over_n = beta * jnp.float32(2.0 / n)
     for s, (i, j) in enumerate(sgs):
         q_w = quat_from_block(w, i, j)
         if kind == "heatbath":
@@ -333,7 +336,7 @@ def _stage_kernel(key_ref, *refs, mu, parity, kind, n, dims, beta, k_trials,
 
 
 @lru_cache(maxsize=None)
-def _stage_call(n, dims, mu, parity, kind, beta, k_trials, n_hit,
+def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
                 metro_delta, rng_mode, interpret):
     """Build the jit-able pallas_call for one (mu, parity, kind) stage."""
     X = dims[0]
@@ -349,10 +352,13 @@ def _stage_call(n, dims, mu, parity, kind, beta, k_trials, n_hit,
             memory_space=pltpu.VMEM,
         )
 
+    beta_spec = pl.BlockSpec(
+        (1, 1), lambda i, _kref: (0, 0), memory_space=pltpu.SMEM
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(X,),
-        in_specs=[mk_spec(dx) for (_, _, dx) in slabs],
+        in_specs=[beta_spec] + [mk_spec(dx) for (_, _, dx) in slabs],
         out_specs=pl.BlockSpec(
             block, lambda i, _kref: (0, 0, 0, i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -360,7 +366,7 @@ def _stage_call(n, dims, mu, parity, kind, beta, k_trials, n_hit,
     )
     kern = partial(
         _stage_kernel, mu=mu, parity=parity, kind=kind, n=n, dims=dims,
-        beta=beta, k_trials=k_trials, n_hit=n_hit, metro_delta=metro_delta,
+        k_trials=k_trials, n_hit=n_hit, metro_delta=metro_delta,
         rng_mode=rng_mode, slabs=slabs,
     )
     call = pl.pallas_call(
@@ -373,9 +379,10 @@ def _stage_call(n, dims, mu, parity, kind, beta, k_trials, n_hit,
         interpret=bool(interpret),
     )
 
-    def apply(key2, us):
+    def apply(key2, beta, us):
+        beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
         args = [us[2 * d + par] for (d, par, _) in slabs]
-        return call(key2, *args)
+        return call(key2, beta_arr, *args)
 
     return apply
 
@@ -386,11 +393,12 @@ def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
     """One fused checkerboard stage on packed state.
 
     us: tuple of 8 arrays [2, N, 2, X, Y, Z*T/2] indexed us[2*mu + parity]
-    (see ops.pallas.engine).  Returns the new us[2*mu + parity] array.
+    (see ops.pallas.engine).  beta may be a traced scalar (one compiled
+    kernel serves every coupling).  Returns the new us[2*mu + parity].
     """
     n = us[0].shape[1]
     apply = _stage_call(
-        n, tuple(dims), mu, parity, kind, float(beta), int(k_trials),
+        n, tuple(dims), mu, parity, kind, int(k_trials),
         int(n_hit), float(metro_delta), rng_mode, bool(interpret),
     )
-    return apply(key2, us)
+    return apply(key2, beta, us)
