@@ -61,6 +61,12 @@ def _add_run_args(p: argparse.ArgumentParser):
     p.add_argument("--dtype", choices=["complex64", "complex128"])
     p.add_argument("--mesh", type=_parse_dims,
                    help="device mesh over X,Y,Z,T (e.g. 1,1,2,4)")
+    p.add_argument("--engine", choices=["auto", "xla", "pallas"],
+                   help="execution engine (default auto: Pallas on TPU)")
+    p.add_argument("--rng-mode", choices=["threefry", "hw"], dest="rng_mode",
+                   help="threefry (bit-reproducible) or hw (TPU PRNG, faster)")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler trace (per-kernel timings)")
     p.add_argument("--out", default="results", help="output directory")
 
 
@@ -81,7 +87,7 @@ def _build_config(args) -> "SimConfig":
         d.update(_load_config_file(args.config))
     for k in ("group", "dims", "beta", "algorithm", "n_or", "n_hit",
               "kp_trials", "start", "sweeps_therm", "sweeps", "meas_every",
-              "reunit_every", "seed", "dtype", "mesh"):
+              "reunit_every", "seed", "dtype", "mesh", "engine", "rng_mode"):
         v = getattr(args, k, None)
         if v is not None:
             d[k] = v
@@ -115,6 +121,7 @@ def _finish_run(sim, args, timings):
 def cmd_run(args):
     from .parallel.mesh import mesh_for_config, shard_links
     from .sim import Simulation
+    from .utils.profile import trace
 
     cfg = _build_config(args)
     sim = Simulation(cfg)
@@ -122,16 +129,19 @@ def cmd_run(args):
     if mesh is not None:
         sim.u = shard_links(sim.u, mesh)
     timings = {}
-    t0 = time.time()
-    sim.thermalize()
-    timings["thermalize_s"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    sim.run()
-    timings["production_s"] = round(time.time() - t0, 3)
+    with trace(getattr(args, "profile", None)):
+        t0 = time.time()
+        sim.thermalize()
+        timings["thermalize_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        sim.run()
+        timings["production_s"] = round(time.time() - t0, 3)
     n_link_updates = (1 + cfg.n_or) * cfg.n_links * (cfg.sweeps + cfg.sweeps_therm)
     timings["link_updates_per_s"] = round(
         n_link_updates / max(timings["thermalize_s"] + timings["production_s"], 1e-9)
     )
+    if getattr(args, "profile", None):
+        timings["profile_trace"] = args.profile
     _finish_run(sim, args, timings)
 
 

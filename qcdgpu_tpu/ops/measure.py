@@ -60,37 +60,51 @@ def polyakov_from_ut(ut):
     ut: the temporal links [N, N, X, Y, Z, T].
     L(xvec) = (1/N) tr prod_t U_t(xvec, t); returns mean over space.
 
-    The time product is a log-depth pairwise tree with static slicing —
-    a sequential fori_loop with dynamic last-axis indexing compiled
-    pathologically slowly on TPU and serializes T matmuls where log2(T)
-    batched ones suffice.
+    The time product is a log-depth pairwise tree (V_k = U_{2k} U_{2k+1},
+    recursively), with matrix components held as SEPARATE arrays all the
+    way through — no jnp.stack inside the tree.  Stack/concatenate act as
+    fusion barriers on TPU and each would materialize a full field; the
+    de-stacked tree is pure elementwise arithmetic on strided slices,
+    which XLA fuses per level.
     """
     n = ut.shape[0]
-    p = jnp.moveaxis(ut, -1, 0)  # [T, N, N, X, Y, Z]
+    cur = [[ut[i, j] for j in range(n)] for i in range(n)]
 
     def pairmul(a, b):
-        # unrolled like sun.mul (see there for the TPU layout rationale),
-        # with a leading pair axis
-        n = a.shape[1]
-        rows = []
+        out = []
         for i in range(n):
             row = []
             for k in range(n):
-                acc = a[:, i, 0] * b[:, 0, k]
+                acc = a[i][0] * b[0][k]
                 for j in range(1, n):
-                    acc = acc + a[:, i, j] * b[:, j, k]
+                    acc = acc + a[i][j] * b[j][k]
                 row.append(acc)
-            rows.append(jnp.stack(row, axis=1))
-        return jnp.stack(rows, axis=1)
+            out.append(row)
+        return out
 
-    while p.shape[0] > 1:
-        odd = p.shape[0] % 2 == 1
-        last = p[-1] if odd else None
-        q = p[:-1] if odd else p
-        p = pairmul(q[0::2], q[1::2])
-        if last is not None:  # fold the trailing factor into the last product
-            p = p.at[-1].set(mul(p[-1], last))
-    loop = trace(p[0]) / n  # [X, Y, Z]
+    while cur[0][0].shape[-1] > 1:
+        if cur[0][0].shape[-1] % 2 == 1:
+            # identity-pad the tail so every element has a pair
+            eye = jnp.eye(n, dtype=ut.dtype)
+            cur = [
+                [
+                    jnp.concatenate(
+                        [cur[i][j],
+                         jnp.broadcast_to(eye[i, j],
+                                          cur[i][j].shape[:-1] + (1,))],
+                        axis=-1,
+                    )
+                    for j in range(n)
+                ]
+                for i in range(n)
+            ]
+        even = [[c[..., 0::2] for c in row] for row in cur]
+        odd = [[c[..., 1::2] for c in row] for row in cur]
+        cur = pairmul(even, odd)
+    loop = cur[0][0][..., 0]
+    for i in range(1, n):
+        loop = loop + cur[i][i][..., 0]
+    loop = loop / n  # [X, Y, Z]
     return jnp.mean(jnp.real(loop)), jnp.mean(jnp.imag(loop))
 
 
