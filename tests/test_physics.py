@@ -37,14 +37,14 @@ def test_su2_beta24_plaquette():
     cfg = SimConfig(group=2, dims=(8, 8, 8, 8), beta=2.4,
                     algorithm="heatbath", seed=11)
     st = _run_chain(cfg, therm=150, sweeps=300)
-    assert abs(st.mean - LIT_SU2_B24) < max(3e-3, 5 * st.error), st
+    assert abs(st.mean - LIT_SU2_B24) < max(3e-3, 5 * st.err), st
 
 
 def test_su3_beta60_plaquette_heatbath_or():
     cfg = SimConfig(group=3, dims=(8, 8, 8, 8), beta=6.0,
                     algorithm="heatbath", n_or=1, seed=13)
     st = _run_chain(cfg, therm=150, sweeps=300)
-    assert abs(st.mean - LIT_SU3_B60) < max(2e-3, 5 * st.error), st
+    assert abs(st.mean - LIT_SU3_B60) < max(2e-3, 5 * st.err), st
 
 
 def test_cold_hot_converge():
@@ -52,7 +52,7 @@ def test_cold_hot_converge():
                 algorithm="heatbath", n_or=1)
     cold = _run_chain(SimConfig(start="cold", seed=17, **base), 200, 300)
     hot = _run_chain(SimConfig(start="hot", seed=19, **base), 200, 300)
-    err = np.sqrt(cold.error**2 + hot.error**2)
+    err = np.sqrt(cold.err**2 + hot.err**2)
     assert abs(cold.mean - hot.mean) < 5 * max(err, 1e-4), (cold, hot)
 
 
@@ -66,5 +66,5 @@ def test_metropolis_agrees_with_heatbath():
                   seed=29, **base),
         400, 600,  # Metropolis mixes slower
     )
-    err = np.sqrt(hb.error**2 + mp.error**2)
+    err = np.sqrt(hb.err**2 + mp.err**2)
     assert abs(hb.mean - mp.mean) < 5 * max(err, 1e-4), (hb, mp)

@@ -226,5 +226,5 @@ def test_plaquette_statistics_parity_ranlux3_vs_threefry():
     obs = sim.run()
     tf = analyze_series(obs[:, 0])
 
-    err = np.sqrt(ref.error**2 + tf.error**2)
+    err = np.sqrt(ref.err**2 + tf.err**2)
     assert abs(ref.mean - tf.mean) < 4.0 * max(err, 1e-4), (ref, tf)
