@@ -13,7 +13,6 @@ halo exchange QCDGPU performs by hand through host memory (SURVEY.md §2
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 import jax.numpy as jnp

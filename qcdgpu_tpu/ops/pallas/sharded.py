@@ -1,0 +1,147 @@
+"""Multi-chip Pallas engine: X-sharded sweeps with ppermute halo exchange.
+
+The lattice is domain-decomposed along X over the device mesh's "x" axis
+(cfg.mesh = (mx, 1, 1, 1)).  Inside a `jax.shard_map`, every stage first
+exchanges one-slab halos with both X-neighbors via `jax.lax.ppermute`
+(rides ICI), pads the local packed fields to local_x + 2 slabs, and runs
+the same fused stage kernel as the single-chip engine in its halo-padded
+variant (ops/pallas/update._stage_call with local_x > 0).  This is the
+TPU-native counterpart of QCDGPU's BIG_LATTICE multi-GPU slab
+decomposition with host-mediated boundary exchange (SURVEY.md §2
+"Multi-device decomposition") — except the halo moves chip-to-chip over
+the interconnect, overlapped by XLA with the kernel pipeline.
+
+Because the stage kernels key randomness and parity off GLOBAL slab
+indices (the x_offset scalar), the sharded chain consumes bit-identical
+randomness to the single-chip engine; link fields agree to f32
+rounding order.
+
+General 4D meshes (Y/Z/T sharding) remain on the XLA engine, whose rolls
+XLA partitions into halo exchanges automatically (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ...config import SimConfig
+from .. import rng
+from ..measure import OBS_NAMES
+from . import update as pupdate
+from .engine import join_links, split_links
+from .reunit import reunitarize_dir
+
+NDIM = 4
+
+
+def _halo_pad(arr, mx):
+    """Pad a local [2, N, 2, local_x, Y, ZT2] field to local_x + 2 slabs.
+
+    Slot 0 <- left neighbor's last slab; slot -1 <- right neighbor's first.
+    """
+    fwd = [(i, (i + 1) % mx) for i in range(mx)]   # data moves +x
+    bwd = [(i, (i - 1) % mx) for i in range(mx)]   # data moves -x
+    left = jax.lax.ppermute(arr[:, :, :, -1:], "x", fwd)
+    right = jax.lax.ppermute(arr[:, :, :, :1], "x", bwd)
+    return jnp.concatenate([left, arr, right], axis=3)
+
+
+def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
+    """Sharded counterpart of engine.make_pallas_chunk_runner.
+
+    mesh: the 4-axis device mesh (only its "x" axis may exceed size 1).
+    """
+    dims = tuple(cfg.dims)
+    mx = mesh.shape["x"]
+    if any(mesh.shape[a] != 1 for a in ("y", "z", "t")):
+        raise ValueError("the Pallas engine shards along X only; use the "
+                         "XLA engine for general 4D meshes")
+    local_x = dims[0] // mx
+    kinds = [cfg.algorithm] + ["overrelax"] * cfg.n_or
+    kw = dict(k_trials=int(cfg.kp_trials), n_hit=int(cfg.n_hit),
+              metro_delta=float(cfg.metro_delta), rng_mode=cfg.rng_mode,
+              interpret=bool(interpret))
+
+    n = 2 if cfg.group == 2 else 3
+
+    def stage_apply(mu, parity, kind):
+        return pupdate._stage_call(
+            n, dims, mu, parity, kind, kw["k_trials"], kw["n_hit"],
+            kw["metro_delta"], kw["rng_mode"], kw["interpret"],
+            local_x=local_x,
+        )
+
+    def sweep_local(us, base_key, sweep_idx, beta):
+        x_offset = jax.lax.axis_index("x").astype(jnp.uint32) * local_x
+        stage_id = 0
+        for kind in kinds:
+            for parity in (0, 1):
+                for mu in range(NDIM):
+                    key2 = rng.stage_key(base_key, sweep_idx, stage_id)
+                    padded = tuple(_halo_pad(a, mx) for a in us)
+                    new = stage_apply(mu, parity, kind)(
+                        key2, beta, padded, x_offset
+                    )
+                    k = 2 * mu + parity
+                    us = us[:k] + (new,) + us[k + 1:]
+                    stage_id += 1
+        if cfg.reunit_every > 0:
+            def do_reunit(us):
+                # local projection, no halo needed; dims with local X so
+                # the kernel's grid matches the shard extent
+                ldims = (local_x,) + dims[1:]
+                return tuple(
+                    reunitarize_dir(s, ldims, interpret=interpret)
+                    for s in us
+                )
+            us = jax.lax.cond(
+                (sweep_idx % cfg.reunit_every) == (cfg.reunit_every - 1),
+                do_reunit, lambda x: x, us,
+            )
+        return us
+
+    spec8 = tuple(P(None, None, None, "x", None, None) for _ in range(8))
+    sweep_sharded = jax.shard_map(
+        sweep_local, mesh=mesh,
+        in_specs=(spec8, P(None), P(), P()),
+        out_specs=spec8,
+        check_vma=False,
+    )
+
+    @partial(jax.jit, static_argnums=(3, 4))
+    def run(u, base_key, sweep0, n_sweeps, measure_every):
+        us = split_links(u)
+        beta = jnp.float32(cfg.beta)
+
+        def sweeps_only(us, first, count):
+            def body(i, us):
+                return sweep_sharded(us, base_key, first + i, beta)
+            return jax.lax.fori_loop(0, count, body, us)
+
+        if not measure_every:
+            us = sweeps_only(us, sweep0, n_sweeps)
+            return join_links(us, dims), jnp.zeros((0, len(OBS_NAMES)),
+                                                   jnp.float32)
+
+        n_blocks = n_sweeps // measure_every
+        rem = n_sweeps - n_blocks * measure_every
+
+        def block(us, b):
+            us = sweeps_only(us, sweep0 + b * measure_every, measure_every)
+            # measurement via the XLA path on the reconstructed complex
+            # field: XLA's SPMD partitioner turns its rolls into halo
+            # exchanges automatically
+            from ..measure import measure_all
+
+            return us, measure_all(join_links(us, dims))
+
+        us, obs = jax.lax.scan(block, us, jnp.arange(n_blocks))
+        if rem:
+            us = sweeps_only(us, sweep0 + n_blocks * measure_every, rem)
+        return join_links(us, dims), obs
+
+    return run

@@ -287,10 +287,13 @@ def _uniforms_per_subgroup(kind, k_trials, n_hit):
 
 def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
                   k_trials, n_hit, metro_delta, rng_mode, slabs):
+    # scalar-prefetch layout: [k0, k1, x_offset] — x_offset is the global
+    # index of this shard's first slab (0 when unsharded), so parities and
+    # threefry site keys are global and sharded chains are bit-identical.
     # beta arrives as a (1, 1) SMEM scalar so one compiled kernel serves
-    # every coupling — the beta-scan/ensemble path passes a traced beta
+    # every coupling — the beta-scan/ensemble path passes a traced beta.
     o_ref = refs[-1]
-    x = pl.program_id(0)
+    x = pl.program_id(0) + key_ref[2].astype(jnp.int32)
     dims2 = (dims[0], dims[1], dims[2], dims[3] // 2)
     ctx = _LoadCtx(parity, n, slabs, refs[:-1], x, dims2)
     beta = beta_ref[0, 0]
@@ -337,16 +340,30 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
 
 @lru_cache(maxsize=None)
 def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
-                metro_delta, rng_mode, interpret):
-    """Build the jit-able pallas_call for one (mu, parity, kind) stage."""
+                metro_delta, rng_mode, interpret, local_x=0):
+    """Build the jit-able pallas_call for one (mu, parity, kind) stage.
+
+    local_x == 0: single-device kernel over the full X extent (X±1 halos
+    via wraparound index maps).  local_x > 0: shard-local kernel over
+    ``local_x`` slabs whose inputs are halo-PADDED to local_x + 2 along X
+    (slot 0 = left halo slab, slot local_x + 1 = right halo slab) — the
+    multi-chip path (ops/pallas/sharded.py) fills the pads via ppermute.
+    """
     X = dims[0]
     Y, ZT2 = dims[1], dims[2] * (dims[3] // 2)
     slabs = stage_slabs(mu, parity, n)
     block = (2, n, 2, 1, Y, ZT2)
+    grid_x = local_x if local_x else X
+    in_x = local_x + 2 if local_x else X
 
     def mk_spec(dx):
         # NB: with num_scalar_prefetch=1 the scalar ref is appended to the
         # index_map arguments.
+        if local_x:
+            return pl.BlockSpec(
+                block, lambda i, _kref, dx=dx: (0, 0, 0, i + dx + 1, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             block, lambda i, _kref, dx=dx: (0, 0, 0, (i + dx) % X, 0, 0),
             memory_space=pltpu.VMEM,
@@ -357,7 +374,7 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(X,),
+        grid=(grid_x,),
         in_specs=[beta_spec] + [mk_spec(dx) for (_, _, dx) in slabs],
         out_specs=pl.BlockSpec(
             block, lambda i, _kref: (0, 0, 0, i, 0, 0),
@@ -372,17 +389,22 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, n, 2, X, Y, ZT2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, n, 2, grid_x, Y, ZT2),
+                                       jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=bool(interpret),
     )
 
-    def apply(key2, beta, us):
+    def apply(key2, beta, us, x_offset=None):
         beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+        off = jnp.zeros((1,), jnp.uint32) if x_offset is None else (
+            jnp.asarray(x_offset, jnp.uint32).reshape(1)
+        )
+        scal = jnp.concatenate([key2, off])
         args = [us[2 * d + par] for (d, par, _) in slabs]
-        return call(key2, beta_arr, *args)
+        return call(scal, beta_arr, *args)
 
     return apply
 

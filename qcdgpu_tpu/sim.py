@@ -142,7 +142,10 @@ def resolve_engine(cfg: SimConfig) -> str:
     if cfg.dtype != "complex64":
         return "xla"
     if int(np.prod(cfg.mesh)) != 1:
-        return "xla"  # SPMD path: XLA partitions rolls into halo exchanges
+        # default multi-device path: XLA partitions rolls into halo
+        # exchanges for arbitrary 4D meshes.  engine="pallas" (explicit)
+        # selects the X-sharded Pallas engine (ops/pallas/sharded.py).
+        return "xla"
     try:
         plat = jax.devices()[0].platform
     except Exception:
@@ -159,6 +162,11 @@ def make_chunk_runner(cfg: SimConfig):
     Dispatches to the fused Pallas engine on TPU (resolve_engine).
     """
     if resolve_engine(cfg) == "pallas":
+        if int(np.prod(cfg.mesh)) != 1:
+            from .ops.pallas.sharded import make_sharded_chunk_runner
+            from .parallel.mesh import make_mesh
+
+            return make_sharded_chunk_runner(cfg, make_mesh(cfg.mesh))
         from .ops.pallas.engine import make_pallas_chunk_runner
 
         return make_pallas_chunk_runner(cfg)
