@@ -59,6 +59,18 @@ def _add_run_args(p: argparse.ArgumentParser):
     p.add_argument("--reunit-every", type=int, dest="reunit_every")
     p.add_argument("--seed", type=int)
     p.add_argument("--dtype", choices=["complex64", "complex128"])
+    p.add_argument("--meas-dtype", choices=["same", "double"], dest="meas_dtype",
+                   help="double = complex128 observables (mixed precision)")
+    p.add_argument("--get-fmunu", action=argparse.BooleanOptionalAction,
+                   dest="get_fmunu", default=None,
+                   help="measure field-strength components tr(T_a P_munu)")
+    p.add_argument("--fmunu-index1", type=int, dest="fmunu_index1",
+                   help="first Fmunu color generator (0 = Cartan default)")
+    p.add_argument("--fmunu-index2", type=int, dest="fmunu_index2",
+                   help="second Fmunu color generator (0 = auto)")
+    p.add_argument("--track-acceptance", action=argparse.BooleanOptionalAction,
+                   dest="track_acceptance", default=None,
+                   help="record the Metropolis acceptance rate per block")
     p.add_argument("--mesh", type=_parse_dims,
                    help="device mesh over X,Y,Z,T (e.g. 1,1,2,4)")
     p.add_argument("--engine", choices=["auto", "xla", "pallas"],
@@ -87,7 +99,9 @@ def _build_config(args) -> "SimConfig":
         d.update(_load_config_file(args.config))
     for k in ("group", "dims", "beta", "algorithm", "n_or", "n_hit",
               "kp_trials", "start", "sweeps_therm", "sweeps", "meas_every",
-              "reunit_every", "seed", "dtype", "mesh", "engine", "rng_mode"):
+              "reunit_every", "seed", "dtype", "mesh", "engine", "rng_mode",
+              "meas_dtype", "get_fmunu", "fmunu_index1", "fmunu_index2",
+              "track_acceptance"):
         v = getattr(args, k, None)
         if v is not None:
             d[k] = v
@@ -170,12 +184,12 @@ def cmd_scan(args):
     obs = scan.run()  # [C, n_meas, n_obs]
     timings = {"total_s": round(time.time() - t0, 3)}
     os.makedirs(args.out, exist_ok=True)
-    from .ops.measure import OBS_NAMES
+    from .ops.measure import measure_obs_names
 
     rows = []
     for c, b in enumerate(betas):
         row = {"beta": b}
-        for k, name in enumerate(OBS_NAMES):
+        for k, name in enumerate(measure_obs_names(cfg)):
             st = analyze_series(obs[c, :, k])
             row[name] = st.mean
             row[name + "_err"] = st.err

@@ -35,9 +35,25 @@ class SimConfig:
     meas_every: int = 1  # measure every k-th production sweep
     reunit_every: int = 10  # reunitarize every k-th sweep (0 = never)
 
+    # --- extended measurements ------------------------------------------
+    # Field-strength tensor components (QCDGPU's get_Fmunu/get_F0mu with
+    # Fmunu_index1/2): volume-averaged tr(T_a P_munu) per plane for two
+    # selected color generators.  0 = auto (Cartan: 3, 8 for SU(3); 3 for
+    # SU(2)).  See ops/measure.py.
+    get_fmunu: bool = False
+    fmunu_index1: int = 0
+    fmunu_index2: int = 0
+    # Metropolis acceptance-rate tracking (QCDGPU reports acceptance in its
+    # results file); adds an "acc_rate" observable column.  XLA engine only.
+    track_acceptance: bool = False
+
     # --- numerics --------------------------------------------------------
     seed: int = 0
     dtype: str = "complex64"  # "complex64" | "complex128"
+    # "same": measure in the link dtype.  "double": evaluate observables in
+    # complex128 (QCDGPU's PRECISION=mixed — single-precision updates with
+    # double-precision measurement sums).  Requires jax x64 (CPU/XLA path).
+    meas_dtype: str = "same"  # "same" | "double"
 
     # --- engine ----------------------------------------------------------
     # "auto": fused Pallas kernels on TPU, XLA elsewhere.  "xla" is the
@@ -66,6 +82,21 @@ class SimConfig:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.rng_mode not in ("threefry", "hw"):
             raise ValueError(f"unknown rng_mode {self.rng_mode!r}")
+        if self.meas_dtype not in ("same", "double"):
+            raise ValueError(f"unknown meas_dtype {self.meas_dtype!r}")
+        nm1 = self.group * self.group - 1
+        for a in (self.fmunu_index1, self.fmunu_index2):
+            if not 0 <= a <= nm1:
+                raise ValueError(
+                    f"fmunu index {a} out of range 0..{nm1} for SU({self.group})"
+                )
+        if self.track_acceptance and self.algorithm != "metropolis":
+            raise ValueError("track_acceptance requires algorithm='metropolis'")
+        if self.track_acceptance and self.engine == "pallas":
+            raise ValueError(
+                "track_acceptance is an XLA-engine feature (engine='xla' or "
+                "'auto', which resolves to the XLA engine when tracking)"
+            )
         if self.engine == "pallas" and self.dtype != "complex64":
             raise ValueError("the pallas engine is float32 (complex64) only")
         for d, m in zip(self.dims, self.mesh):

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..config import SimConfig
 from ..ops import rng
-from ..ops.measure import OBS_NAMES, measure_all
+from ..ops.measure import make_measure_fn, measure_obs_names
 from ..sim import cold_start, hot_start, make_sweep_fn
 
 
@@ -37,6 +37,9 @@ def make_ensemble_runner(cfg: SimConfig):
     if resolve_engine(cfg) == "pallas":
         return _make_pallas_ensemble_runner(cfg)
     sweep = make_sweep_fn_beta(cfg)
+    measure_fn = make_measure_fn(cfg)
+    # ensemble rows carry the measurement vector only (no acc_rate column)
+    n_obs = len(measure_obs_names(cfg))
 
     @partial(jax.jit, static_argnums=(4, 5))
     def run(us, betas, keys, sweep0, n_sweeps, measure_every):
@@ -48,14 +51,14 @@ def make_ensemble_runner(cfg: SimConfig):
 
             if not measure_every:
                 u = sweeps_only(u, sweep0, n_sweeps)
-                return u, jnp.zeros((0, len(OBS_NAMES)), jnp.float32)
+                return u, jnp.zeros((0, n_obs), jnp.float32)
 
             n_blocks = n_sweeps // measure_every
             rem = n_sweeps - n_blocks * measure_every
 
             def block(u, b):
                 u = sweeps_only(u, sweep0 + b * measure_every, measure_every)
-                return u, measure_all(u)
+                return u, measure_fn(u)
 
             u, obs = jax.lax.scan(block, u, jnp.arange(n_blocks))
             if rem:
@@ -79,6 +82,7 @@ def _make_pallas_ensemble_runner(cfg: SimConfig, interpret=False):
 
     sweep = peng.make_pallas_sweep(cfg, interpret=interpret)
     dims = tuple(cfg.dims)
+    n_obs = len(measure_obs_names(cfg))
 
     @partial(jax.jit, static_argnums=(4, 5))
     def run(us, betas, keys, sweep0, n_sweeps, measure_every):
@@ -93,14 +97,15 @@ def _make_pallas_ensemble_runner(cfg: SimConfig, interpret=False):
             if not measure_every:
                 s = sweeps_only(s, sweep0, n_sweeps)
                 return (peng.join_links(s, dims),
-                        jnp.zeros((0, len(OBS_NAMES)), jnp.float32))
+                        jnp.zeros((0, n_obs), jnp.float32))
 
             n_blocks = n_sweeps // measure_every
             rem = n_sweeps - n_blocks * measure_every
 
             def block(s, b):
                 s = sweeps_only(s, sweep0 + b * measure_every, measure_every)
-                return s, peng.measure_all_split(s, dims, interpret=interpret)
+                return s, peng.measure_all_split(s, dims, interpret=interpret,
+                                                 cfg=cfg)
 
             s, obs = jax.lax.scan(block, s, jnp.arange(n_blocks))
             if rem:

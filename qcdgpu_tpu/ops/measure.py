@@ -13,10 +13,22 @@ Observable vector layout (see OBS_NAMES):
   action   — Wilson action density S / (beta * 6 * V) = 1 - plq
   poly_re  — Re of the volume-averaged Polyakov loop (1/N normalized)
   poly_im  — Im of the same
+
+Optional extension (cfg.get_fmunu — QCDGPU's `get_Fmunu`/`get_F0mu` options
+with `Fmunu_index1/2`, kernel lattice_measurement_Fmunu [mem, reference
+mount empty — SURVEY.md header]): per selected color generator T_a and per
+plane (mu, nu), the volume-averaged complex trace tr(T_a P_{mu,nu}).  Its
+imaginary part is the naive lattice field-strength component
+F^a_{mu,nu} ~ (2/g a^2) Im tr(T_a P) used in the package's vacuum
+chromo-magnetization studies; spatial planes give the chromo-magnetic
+components (QCDGPU's Fmunu), temporal planes the chromo-electric ones
+(QCDGPU's F0mu).  Default colors are the Cartan generators: lambda_3 and
+lambda_8 for SU(3), sigma_3 for SU(2).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -26,12 +38,92 @@ from .sun import dagger, mul, retrace, trace
 OBS_NAMES = ("plq", "plq_s", "plq_t", "action", "poly_re", "poly_im")
 TIME_AXIS = 3  # mu index of the temporal direction
 
+PLANES = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+PLANE_NAMES = ("xy", "xz", "xt", "yz", "yt", "zt")
+
+# SU(2) Pauli matrices sigma_1..3 (generator index a = 1..3)
+_PAULI = np.array(
+    [
+        [[0, 1], [1, 0]],
+        [[0, -1j], [1j, 0]],
+        [[1, 0], [0, -1]],
+    ],
+    dtype=np.complex128,
+)
+
+# SU(3) Gell-Mann matrices lambda_1..8 (generator index a = 1..8)
+_S3 = 1.0 / np.sqrt(3.0)
+_GELL_MANN = np.array(
+    [
+        [[0, 1, 0], [1, 0, 0], [0, 0, 0]],
+        [[0, -1j, 0], [1j, 0, 0], [0, 0, 0]],
+        [[1, 0, 0], [0, -1, 0], [0, 0, 0]],
+        [[0, 0, 1], [0, 0, 0], [1, 0, 0]],
+        [[0, 0, -1j], [0, 0, 0], [1j, 0, 0]],
+        [[0, 0, 0], [0, 0, 1], [0, 1, 0]],
+        [[0, 0, 0], [0, 0, -1j], [0, 1j, 0]],
+        [[_S3, 0, 0], [0, _S3, 0], [0, 0, -2 * _S3]],
+    ],
+    dtype=np.complex128,
+)
+
+
+def generator(n: int, a: int) -> np.ndarray:
+    """Hermitian group generator: Pauli sigma_a (N=2) / Gell-Mann lambda_a
+    (N=3), 1-based index a in 1..N^2-1 (QCDGPU's Fmunu_index convention)."""
+    table = _PAULI if n == 2 else _GELL_MANN
+    if not 1 <= a <= n * n - 1:
+        raise ValueError(f"generator index {a} out of range for SU({n})")
+    return table[a - 1]
+
+
+def default_fmunu_indices(n: int):
+    """The Cartan (diagonal) generators — QCDGPU's default color projection."""
+    return (3, 8) if n == 3 else (3,)
+
+
+def fmunu_obs_names(indices):
+    return tuple(
+        f"f{a}_{pl}_{c}" for a in indices for pl in PLANE_NAMES for c in ("re", "im")
+    )
+
+
+def plaquette_field(u, mu, nu):
+    """Full plaquette matrix field P_{mu,nu}(x): [N, N, *site_dims]."""
+    a = mul(u[mu], shift(u[nu], mu, +1))
+    b = mul(u[nu], shift(u[mu], nu, +1))
+    return mul(a, dagger(b))
+
+
+def fmunu_means(u, indices):
+    """Volume-averaged tr(T_a P_{mu,nu}) for each selected color a and plane.
+
+    Returns a float32 vector ordered [a-major, plane, (re, im)] matching
+    fmunu_obs_names(indices).  The generator contraction is done entrywise
+    on the nonzero entries of T_a (they are sparse), so each plane costs
+    one plaquette-field construction plus a few elementwise reductions.
+    """
+    n = u.shape[1]
+    gens = [np.asarray(generator(n, a)) for a in indices]
+    out = [[] for _ in indices]
+    for (mu, nu) in PLANES:
+        p = plaquette_field(u, mu, nu)
+        for gi, g in enumerate(gens):
+            # tr(T_a P) = sum_{i,j} (T_a)_{ij} P_{ji}
+            acc = 0.0
+            for i in range(n):
+                for j in range(n):
+                    if g[i, j] != 0:
+                        acc = acc + complex(g[i, j]) * p[j, i]
+            tr_mean = jnp.mean(acc)
+            out[gi].append(jnp.float32(jnp.real(tr_mean)))
+            out[gi].append(jnp.float32(jnp.imag(tr_mean)))
+    return jnp.stack([v for per_color in out for v in per_color])
+
 
 def plaquette_retrace(u, mu, nu):
     """Re tr P_{mu,nu}(x) field: [*site_dims]."""
-    a = mul(u[mu], shift(u[nu], mu, +1))
-    b = mul(u[nu], shift(u[mu], nu, +1))
-    return retrace(mul(a, dagger(b)))
+    return retrace(plaquette_field(u, mu, nu))
 
 
 def mean_plaquette(u):
@@ -123,3 +215,55 @@ def measure_all(u):
             jnp.float32(pim),
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# config-aware observable vector (standard 6 + optional Fmunu extension)
+# ---------------------------------------------------------------------------
+
+
+def cfg_fmunu_indices(cfg):
+    """The resolved Fmunu color indices for a SimConfig (0 = auto/Cartan)."""
+    if not getattr(cfg, "get_fmunu", False):
+        return ()
+    auto = default_fmunu_indices(cfg.group)
+    i1 = cfg.fmunu_index1 or auto[0]
+    i2 = cfg.fmunu_index2 or (auto[1] if len(auto) > 1 else 0)
+    return (i1, i2) if i2 else (i1,)
+
+
+def measure_obs_names(cfg=None):
+    """Names of the observables produced by make_measure_fn(cfg)."""
+    if cfg is None:
+        return OBS_NAMES
+    return OBS_NAMES + fmunu_obs_names(cfg_fmunu_indices(cfg))
+
+
+def obs_names(cfg=None):
+    """Column names of the per-measurement series row (measurement vector
+    plus engine-accumulated columns such as the Metropolis acceptance
+    rate)."""
+    names = measure_obs_names(cfg)
+    if cfg is not None and getattr(cfg, "track_acceptance", False):
+        names = names + ("acc_rate",)
+    return names
+
+
+def make_measure_fn(cfg):
+    """u -> observable vector of length len(obs_names(cfg)).
+
+    With cfg.meas_dtype == "double" the observables are evaluated in
+    complex128 (QCDGPU's PRECISION=mixed: single-precision updates, double-
+    precision measurement sums; requires jax_enable_x64 — CPU/XLA engine).
+    """
+    indices = cfg_fmunu_indices(cfg)
+
+    def fn(u):
+        if getattr(cfg, "meas_dtype", "same") == "double":
+            u = u.astype(jnp.complex128)
+        base = measure_all(u)
+        if not indices:
+            return base
+        return jnp.concatenate([base, fmunu_means(u, indices)])
+
+    return fn

@@ -25,7 +25,12 @@ import jax.numpy as jnp
 
 from ...config import SimConfig
 from .. import rng
-from ..measure import OBS_NAMES, polyakov_from_ut
+from ..measure import (
+    cfg_fmunu_indices,
+    fmunu_means,
+    obs_names,
+    polyakov_from_ut,
+)
 from . import measure as pmeasure
 from . import update as pupdate
 from .reunit import reunitarize_dir
@@ -156,8 +161,12 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False):
     return sweep
 
 
-def measure_all_split(us, dims, interpret=False):
-    """Same observable vector as ops.measure.measure_all, from packed state."""
+def measure_all_split(us, dims, interpret=False, cfg=None):
+    """Same observable vector as ops.measure.make_measure_fn, from packed
+    state.  The standard 6 come from the fused Pallas plaquette reduction;
+    the optional Fmunu extension (cfg.get_fmunu) reconstructs the complex
+    field once per measurement and reuses the XLA path (measurements are
+    infrequent relative to sweeps, so the join cost is noise)."""
     n = us[0].shape[1]
     vol = dims[0] * dims[1] * dims[2] * dims[3]
     sums = pmeasure.plane_sums(us, dims, interpret=interpret) / (n * vol)
@@ -168,16 +177,21 @@ def measure_all_split(us, dims, interpret=False):
     ut = join_dir((us[6], us[7]), dims, n)
     pre, pim = polyakov_from_ut(ut)
     action = 1.0 - plq
-    return jnp.stack([
+    base = jnp.stack([
         jnp.float32(plq), jnp.float32(plq_s), jnp.float32(plq_t),
         jnp.float32(action), jnp.float32(pre), jnp.float32(pim),
     ])
+    indices = cfg_fmunu_indices(cfg) if cfg is not None else ()
+    if not indices:
+        return base
+    return jnp.concatenate([base, fmunu_means(join_links(us, dims), indices)])
 
 
 def make_pallas_chunk_runner(cfg: SimConfig, interpret=False):
     """Pallas counterpart of sim.make_chunk_runner (same signature)."""
     sweep = make_pallas_sweep(cfg, interpret=interpret)
     dims = tuple(cfg.dims)
+    n_obs = len(obs_names(cfg))
 
     @partial(jax.jit, static_argnums=(3, 4))
     def run(u, base_key, sweep0, n_sweeps, measure_every):
@@ -190,15 +204,15 @@ def make_pallas_chunk_runner(cfg: SimConfig, interpret=False):
 
         if not measure_every:
             us = sweeps_only(us, sweep0, n_sweeps)
-            return join_links(us, dims), jnp.zeros((0, len(OBS_NAMES)),
-                                                   jnp.float32)
+            return join_links(us, dims), jnp.zeros((0, n_obs), jnp.float32)
 
         n_blocks = n_sweeps // measure_every
         rem = n_sweeps - n_blocks * measure_every
 
         def block(us, b):
             us = sweeps_only(us, sweep0 + b * measure_every, measure_every)
-            return us, measure_all_split(us, dims, interpret=interpret)
+            return us, measure_all_split(us, dims, interpret=interpret,
+                                         cfg=cfg)
 
         us, obs = jax.lax.scan(block, us, jnp.arange(n_blocks))
         if rem:

@@ -30,7 +30,7 @@ from jax.sharding import PartitionSpec as P
 
 from ...config import SimConfig
 from .. import rng
-from ..measure import OBS_NAMES
+from ..measure import make_measure_fn, obs_names
 from . import update as pupdate
 from .engine import join_links, split_links
 from .reunit import reunitarize_dir
@@ -112,6 +112,9 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
         check_vma=False,
     )
 
+    measure_fn = make_measure_fn(cfg)
+    n_obs = len(obs_names(cfg))
+
     @partial(jax.jit, static_argnums=(3, 4))
     def run(u, base_key, sweep0, n_sweeps, measure_every):
         us = split_links(u)
@@ -124,8 +127,7 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
 
         if not measure_every:
             us = sweeps_only(us, sweep0, n_sweeps)
-            return join_links(us, dims), jnp.zeros((0, len(OBS_NAMES)),
-                                                   jnp.float32)
+            return join_links(us, dims), jnp.zeros((0, n_obs), jnp.float32)
 
         n_blocks = n_sweeps // measure_every
         rem = n_sweeps - n_blocks * measure_every
@@ -135,9 +137,7 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
             # measurement via the XLA path on the reconstructed complex
             # field: XLA's SPMD partitioner turns its rolls into halo
             # exchanges automatically
-            from ..measure import measure_all
-
-            return us, measure_all(join_links(us, dims))
+            return us, measure_fn(join_links(us, dims))
 
         us, obs = jax.lax.scan(block, us, jnp.arange(n_blocks))
         if rem:

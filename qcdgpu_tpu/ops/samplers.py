@@ -108,17 +108,20 @@ def overrelax_flip(q_w):
 METRO_UNIFORMS_PER_HIT = 4
 
 
-def metropolis_flip(q_w, two_beta_over_n, uu, n_hit, delta):
+def metropolis_flip(q_w, two_beta_over_n, uu, n_hit, delta, with_acc=False):
     """NHIT Metropolis touches on one subgroup.
 
     Proposal: u = normalize(1, delta*(2r-1), delta*(2r-1), delta*(2r-1)) —
     symmetric under u -> u^+.  Accept with min(1, exp(dS)), where
     dS = (beta/N) * (Re tr(u_emb W) - Re tr(W)) = two_beta_over_n * ((u*q)_0 - q_0).
     uu: pre-drawn uniforms [4*n_hit, *sites].
-    Returns the composed multiplier after n_hit hits.
+    Returns the composed multiplier after n_hit hits; with with_acc also the
+    mean accepted fraction over (sites x hits) — QCDGPU's acceptance-rate
+    statistic.
     """
     acc_u = _identity_quat_like(q_w)
     q_cur = q_w
+    acc_frac = 0.0
     for h in range(n_hit):
         u = uu[4 * h : 4 * (h + 1)]
         w1 = delta * (2.0 * u[0] - 1.0)
@@ -131,9 +134,13 @@ def metropolis_flip(q_w, two_beta_over_n, uu, n_hit, delta):
         new0 = sun.quat_mul(w, q_cur)[0]
         dlp = two_beta_over_n * (new0 - q_cur[0])
         accept = jnp.log(u[3]) < dlp
+        if with_acc:
+            acc_frac = acc_frac + jnp.mean(accept.astype(jnp.float32))
         w_eff = jnp.where(accept[None], w, _identity_quat_like(q_cur))
         acc_u = sun.quat_mul(w_eff, acc_u)
         q_cur = sun.quat_mul(w_eff, q_cur)
+    if with_acc:
+        return acc_u, acc_frac / n_hit
     return acc_u
 
 
@@ -158,11 +165,17 @@ def update_links(
     k_trials=4,
     n_hit=3,
     metro_delta=0.35,
+    return_acc=False,
 ):
     """Apply one update of ``kind`` to every link in u_mu given its staples.
 
     u_mu, staples: [N, N, *sites];  kind in {"heatbath", "overrelax",
     "metropolis"}.  Caller is responsible for parity masking.
+
+    With return_acc (metropolis only) also returns the mean acceptance over
+    (sites x hits x subgroups).  The mean runs over BOTH parities even
+    though the caller discards one — the discarded half's accept events are
+    identically distributed, so the estimator is unbiased.
     """
     n = u_mu.shape[0]
     two_beta_over_n = jnp.asarray(2.0 * beta / n, jnp.float32)
@@ -179,6 +192,7 @@ def update_links(
     per_slots = (per + 1) // 2
     if per:
         u_all = rng.site_uniforms(key2, site_idx, 2 * per_slots * len(sgs))
+    acc_total = 0.0
     for s, (i, j) in enumerate(sgs):
         q_w = sun.extract_block_quat(w, i, j)
         if kind == "heatbath":
@@ -188,10 +202,18 @@ def update_links(
             flip = overrelax_flip(q_w)
         elif kind == "metropolis":
             u_s = u_all[2 * per_slots * s : 2 * per_slots * s + per]
-            flip = metropolis_flip(q_w, two_beta_over_n, u_s, n_hit, metro_delta)
+            flip = metropolis_flip(
+                q_w, two_beta_over_n, u_s, n_hit, metro_delta,
+                with_acc=return_acc,
+            )
+            if return_acc:
+                flip, acc = flip
+                acc_total = acc_total + acc
         else:
             raise ValueError(f"unknown update kind: {kind}")
         flip = flip.astype(jnp.real(u_mu).dtype)
         u_mu = sun.subgroup_left_mul(flip, i, j, u_mu)
         w = sun.subgroup_left_mul(flip, i, j, w)
+    if return_acc:
+        return u_mu, acc_total / len(sgs)
     return u_mu

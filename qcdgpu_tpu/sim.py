@@ -26,9 +26,7 @@ import jax.numpy as jnp
 from .config import SimConfig
 from .ops import rng, sun
 from .ops.lattice import NDIM, parity_mask, site_index
-from .ops.measure import OBS_NAMES, measure_all
-
-_measure_all_jit = jax.jit(measure_all)
+from .ops.measure import make_measure_fn, measure_obs_names, obs_names
 from .ops.samplers import update_links
 from .ops.staples import staple_sum
 
@@ -81,11 +79,15 @@ def hot_start(cfg: SimConfig, base_key):
 # ---------------------------------------------------------------------------
 
 
-def make_sweep_fn(cfg: SimConfig):
+def make_sweep_fn(cfg: SimConfig, with_acc: bool = False):
     """Build sweep(u, base_key, sweep_idx) -> u' for the configured algorithm.
 
     One sweep = one update pass (heat-bath or Metropolis) + cfg.n_or
     overrelaxation passes + conditional reunitarization.
+
+    with_acc: the sweep returns (u', acc_rate) where acc_rate is the mean
+    Metropolis acceptance over the sweep's update stages (QCDGPU's
+    acceptance-rate report; see samplers.update_links).
     """
     dims = tuple(cfg.dims)
     kinds = [cfg.algorithm] + ["overrelax"] * cfg.n_or
@@ -93,6 +95,7 @@ def make_sweep_fn(cfg: SimConfig):
     def stage(u, key2, parity, mu, kind, beta=None):
         a = staple_sum(u, mu)
         sidx = site_index(dims)
+        track = with_acc and kind == "metropolis"
         new = update_links(
             u[mu],
             a,
@@ -103,19 +106,28 @@ def make_sweep_fn(cfg: SimConfig):
             k_trials=cfg.kp_trials,
             n_hit=cfg.n_hit,
             metro_delta=cfg.metro_delta,
+            return_acc=track,
         )
+        acc = None
+        if track:
+            new, acc = new
         mask = parity_mask(dims, parity)
-        return u.at[mu].set(jnp.where(mask, new, u[mu]))
+        return u.at[mu].set(jnp.where(mask, new, u[mu])), acc
 
     def sweep(u, base_key, sweep_idx, beta=None):
         # beta=None uses the static cfg.beta; an array beta supports the
         # vmapped ensemble/beta-scan axis (models/ensemble.py).
         stage_id = 0
+        acc_sum = 0.0
+        acc_n = 0
         for kind in kinds:
             for parity in (0, 1):
                 for mu in range(NDIM):
                     key2 = rng.stage_key(base_key, sweep_idx, stage_id)
-                    u = stage(u, key2, parity, mu, kind, beta)
+                    u, acc = stage(u, key2, parity, mu, kind, beta)
+                    if acc is not None:
+                        acc_sum = acc_sum + acc
+                        acc_n += 1
                     stage_id += 1
         assert stage_id <= _STAGES_PER_SWEEP
         if cfg.reunit_every > 0:
@@ -125,6 +137,8 @@ def make_sweep_fn(cfg: SimConfig):
                 lambda x: x,
                 u,
             )
+        if with_acc:
+            return u, acc_sum / max(acc_n, 1)
         return u
 
     return sweep
@@ -140,6 +154,9 @@ def resolve_engine(cfg: SimConfig) -> str:
     if cfg.engine != "auto":
         return cfg.engine
     if cfg.dtype != "complex64":
+        return "xla"
+    if cfg.track_acceptance:
+        # acceptance accumulation is an XLA-engine feature
         return "xla"
     if int(np.prod(cfg.mesh)) != 1:
         # default multi-device path: XLA partitions rolls into halo
@@ -170,19 +187,29 @@ def make_chunk_runner(cfg: SimConfig):
         from .ops.pallas.engine import make_pallas_chunk_runner
 
         return make_pallas_chunk_runner(cfg)
-    sweep = make_sweep_fn(cfg)
+    with_acc = cfg.track_acceptance
+    sweep = make_sweep_fn(cfg, with_acc=with_acc)
+    measure_fn = make_measure_fn(cfg)
+    n_obs = len(obs_names(cfg))
 
     @partial(jax.jit, static_argnums=(3, 4))
     def run(u, base_key, sweep0, n_sweeps, measure_every):
-        def sweeps_only(u, first, count):
-            def body(i, u):
-                return sweep(u, base_key, first + i)
+        def sweeps_only(carry, first, count):
+            # carry = (u, acc_sum); acc_sum accumulates the per-sweep
+            # Metropolis acceptance when tracking (else stays 0)
+            def body(i, carry):
+                u, acc_sum = carry
+                r = sweep(u, base_key, first + i)
+                if with_acc:
+                    u, acc = r
+                    return u, acc_sum + acc
+                return r, acc_sum
 
-            return jax.lax.fori_loop(0, count, body, u)
+            return jax.lax.fori_loop(0, count, body, carry)
 
         if not measure_every:
-            u = sweeps_only(u, sweep0, n_sweeps)
-            return u, jnp.zeros((0, len(OBS_NAMES)), jnp.float32)
+            u, _ = sweeps_only((u, jnp.float32(0.0)), sweep0, n_sweeps)
+            return u, jnp.zeros((0, n_obs), jnp.float32)
 
         # scan over measurement blocks: meas_every sweeps + one unconditional
         # measurement per block (a per-sweep lax.cond measurement made the
@@ -191,12 +218,21 @@ def make_chunk_runner(cfg: SimConfig):
         rem = n_sweeps - n_blocks * measure_every
 
         def block(u, b):
-            u = sweeps_only(u, sweep0 + b * measure_every, measure_every)
-            return u, measure_all(u)
+            u, acc_sum = sweeps_only(
+                (u, jnp.float32(0.0)), sweep0 + b * measure_every, measure_every
+            )
+            row = measure_fn(u)
+            if with_acc:
+                row = jnp.concatenate(
+                    [row, (acc_sum / measure_every)[None].astype(jnp.float32)]
+                )
+            return u, row
 
         u, obs = jax.lax.scan(block, u, jnp.arange(n_blocks))
         if rem:
-            u = sweeps_only(u, sweep0 + n_blocks * measure_every, rem)
+            u, _ = sweeps_only(
+                (u, jnp.float32(0.0)), sweep0 + n_blocks * measure_every, rem
+            )
         return u, obs
 
     return run
@@ -219,6 +255,7 @@ class Simulation:
         self.cfg = cfg
         self.base_key = rng.make_base_key(cfg.seed)
         self._run = make_chunk_runner(cfg)
+        self._measure_jit = jax.jit(make_measure_fn(cfg))
         self.sweep_idx = 0
         self.obs_history: list[np.ndarray] = []
         if init_u is not None:
@@ -251,8 +288,13 @@ class Simulation:
     def measure(self) -> dict:
         """One-off measurement (jitted — eager ops cost a host round-trip
         per op, which on a tunneled TPU dominates everything else)."""
-        vals = np.asarray(_measure_all_jit(self.u))
-        return dict(zip(OBS_NAMES, vals.tolist()))
+        vals = np.asarray(self._measure_jit(self.u))
+        return dict(zip(measure_obs_names(self.cfg), vals.tolist()))
+
+    @property
+    def obs_names(self):
+        """Column names of the observable series rows from run()."""
+        return obs_names(self.cfg)
 
     def unitarity_defect(self) -> float:
         return float(max(float(sun.unitarity_defect(self.u[m])) for m in range(NDIM)))
@@ -265,7 +307,8 @@ class Simulation:
         if obs is None or obs.size == 0:
             return {}
         return {
-            name: analyze_series(obs[:, k]) for k, name in enumerate(OBS_NAMES)
+            name: analyze_series(obs[:, k])
+            for k, name in enumerate(obs_names(self.cfg))
         }
 
     # -- checkpoint -------------------------------------------------------

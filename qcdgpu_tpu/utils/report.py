@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 from ..config import SimConfig
-from ..ops.measure import OBS_NAMES
+from ..ops.measure import obs_names
 
 
 def device_info() -> dict:
@@ -45,9 +45,10 @@ def build_record(cfg: SimConfig, analysis: dict, timings: dict | None = None,
     if extra:
         rec.update(extra)
     if series is not None:
+        names = obs_names(cfg)
         rec["series"] = {
             name: np.asarray(series)[:, k].tolist()
-            for k, name in enumerate(OBS_NAMES)
+            for k, name in enumerate(names[: np.asarray(series).shape[1]])
         }
     return rec
 
