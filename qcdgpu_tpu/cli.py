@@ -217,6 +217,82 @@ def cmd_info(args):
     print(json.dumps(report.device_info(), indent=1))
 
 
+def cmd_rngtest(args):
+    """PRNG self-test — the CLI face of the RNG parity suite (PRNGCL shipped
+    its own generator test harness; SURVEY.md §4 mechanism 2).
+
+    For the production threefry stream and each native reference generator:
+    sample moments E[x^k] vs U(0,1) theory (flagged beyond 6 sigma), and a
+    two-sample KS statistic vs threefry.
+    """
+    import numpy as np
+
+    from .native import prngcl
+    from .ops import rng as jrng
+
+    n = args.n
+    key = jrng.make_base_key(args.seed)
+    import jax.numpy as jnp
+
+    sidx = jnp.arange((n + 15) // 16, dtype=jnp.uint32)
+    tf = np.asarray(jrng.site_uniforms(key, sidx, 16), np.float64).ravel()[:n]
+
+    def moments(u):
+        return {k: float(np.mean(u ** k)) for k in (1, 2, 3, 4)}
+
+    def moment_sigmas(u):
+        out = {}
+        for k in (1, 2, 3, 4):
+            err = np.sqrt((1.0 / (2 * k + 1) - 1.0 / (k + 1) ** 2) / len(u))
+            out[k] = float((np.mean(u ** k) - 1.0 / (k + 1)) / err)
+        return out
+
+    def ks_vs(a, b):
+        try:
+            from scipy import stats as sps
+
+            r = sps.ks_2samp(a, b)
+            return float(r.statistic), float(r.pvalue)
+        except Exception:
+            # scipy-free fallback: statistic only
+            both = np.sort(np.concatenate([a, b]))
+            ca = np.searchsorted(np.sort(a), both, "right") / len(a)
+            cb = np.searchsorted(np.sort(b), both, "right") / len(b)
+            return float(np.max(np.abs(ca - cb))), float("nan")
+
+    rows = [{"generator": "threefry (production)",
+             "moments": moments(tf), "moment_sigmas": moment_sigmas(tf)}]
+    gens = args.generators.split(",") if args.generators else list(
+        prngcl.GENERATORS)
+    if prngcl.available():
+        for g in gens:
+            if g == "constant":
+                continue
+            u = np.clip(np.asarray(prngcl.fill(g, args.seed + 2, n)),
+                        1e-12, 1 - 1e-12)
+            stat, p = ks_vs(tf, u)
+            rows.append({"generator": g, "moments": moments(u),
+                         "moment_sigmas": moment_sigmas(u),
+                         "ks_vs_threefry": {"statistic": stat, "pvalue": p}})
+    else:
+        print("# native prngcl library unavailable; testing threefry only")
+    worst = 0.0
+    print(f"{'generator':>22} {'E[x]':>9} {'E[x^2]':>9} {'E[x^3]':>9} "
+          f"{'E[x^4]':>9} {'max|sig|':>9} {'KS p':>9}")
+    for r in rows:
+        m, s = r["moments"], r["moment_sigmas"]
+        mx = max(abs(v) for v in s.values())
+        worst = max(worst, mx)
+        ks = r.get("ks_vs_threefry", {})
+        ksp = f"{ks['pvalue']:9.3g}" if ks else "        -"
+        print(f"{r['generator']:>22} {m[1]:9.5f} {m[2]:9.5f} {m[3]:9.5f} "
+              f"{m[4]:9.5f} {mx:9.2f} {ksp}")
+    ok = worst < 6.0
+    print(f"# n={n} per generator; PASS criteria: all moment deviations "
+          f"< 6 sigma -> {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="qcdgpu_tpu", description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -240,6 +316,14 @@ def main(argv=None):
 
     p = sub.add_parser("info", help="device/backend info")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("rngtest", help="PRNG self-test / parity report")
+    p.add_argument("--n", type=int, default=1 << 20,
+                   help="draws per generator")
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--generators", default=None,
+                   help="comma list (default: all native reference PRNGs)")
+    p.set_defaults(fn=cmd_rngtest)
 
     args = ap.parse_args(argv)
     from .utils.cache import enable_persistent_cache

@@ -158,16 +158,23 @@ def resolve_engine(cfg: SimConfig) -> str:
     if cfg.track_acceptance:
         # acceptance accumulation is an XLA-engine feature
         return "xla"
-    if int(np.prod(cfg.mesh)) != 1:
-        # default multi-device path: XLA partitions rolls into halo
-        # exchanges for arbitrary 4D meshes.  engine="pallas" (explicit)
-        # selects the X-sharded Pallas engine (ops/pallas/sharded.py).
-        return "xla"
     try:
-        plat = jax.devices()[0].platform
+        devs = jax.devices()
+        plat = devs[0].platform
     except Exception:
         return "xla"
-    return "pallas" if plat in ("tpu", "axon") else "xla"
+    on_tpu = plat in ("tpu", "axon")
+    n_mesh = int(np.prod(cfg.mesh))
+    if n_mesh != 1:
+        # multi-device: the fused X-sharded Pallas engine when the mesh is
+        # an X-only slab split on TPU (ops/pallas/sharded.py); otherwise the
+        # XLA engine, whose SPMD partitioner turns rolls into halo exchanges
+        # for arbitrary 4D meshes.
+        x_only = cfg.mesh[0] > 1 and all(m == 1 for m in cfg.mesh[1:])
+        if on_tpu and x_only and len(devs) >= n_mesh:
+            return "pallas"
+        return "xla"
+    return "pallas" if on_tpu else "xla"
 
 
 def make_chunk_runner(cfg: SimConfig):

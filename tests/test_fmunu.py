@@ -169,6 +169,17 @@ def test_pallas_measure_split_with_fmunu_interpret():
     assert all(abs(ref[nm]) < 1e-6 for nm in fmunu_obs_names((3, 8)))
 
 
+def test_resolve_engine_on_cpu():
+    from qcdgpu_tpu.sim import resolve_engine
+
+    assert resolve_engine(SimConfig()) == "xla"  # CPU backend in tests
+    assert resolve_engine(SimConfig(dims=(8, 8, 8, 8),
+                                    mesh=(2, 1, 1, 1))) == "xla"
+    assert resolve_engine(SimConfig(engine="pallas")) == "pallas"
+    assert resolve_engine(
+        SimConfig(algorithm="metropolis", track_acceptance=True)) == "xla"
+
+
 def test_meas_dtype_double():
     cfg = SimConfig(group=2, dims=(4, 4, 4, 4), beta=2.4, meas_dtype="double",
                     sweeps_therm=0, sweeps=2, seed=0, start="hot")
