@@ -57,6 +57,8 @@ def _add_run_args(p: argparse.ArgumentParser):
     p.add_argument("--sweeps", type=int)
     p.add_argument("--meas-every", type=int, dest="meas_every")
     p.add_argument("--reunit-every", type=int, dest="reunit_every")
+    p.add_argument("--ckpt-every", type=int, dest="ckpt_every",
+                   help="periodic state dump every k production sweeps")
     p.add_argument("--seed", type=int)
     p.add_argument("--dtype", choices=["complex64", "complex128"])
     p.add_argument("--meas-dtype", choices=["same", "double"], dest="meas_dtype",
@@ -99,9 +101,9 @@ def _build_config(args) -> "SimConfig":
         d.update(_load_config_file(args.config))
     for k in ("group", "dims", "beta", "algorithm", "n_or", "n_hit",
               "kp_trials", "start", "sweeps_therm", "sweeps", "meas_every",
-              "reunit_every", "seed", "dtype", "mesh", "engine", "rng_mode",
-              "meas_dtype", "get_fmunu", "fmunu_index1", "fmunu_index2",
-              "track_acceptance"):
+              "reunit_every", "ckpt_every", "seed", "dtype", "mesh", "engine",
+              "rng_mode", "meas_dtype", "get_fmunu", "fmunu_index1",
+              "fmunu_index2", "track_acceptance"):
         v = getattr(args, k, None)
         if v is not None:
             d[k] = v
@@ -148,7 +150,8 @@ def cmd_run(args):
         sim.thermalize()
         timings["thermalize_s"] = round(time.time() - t0, 3)
         t0 = time.time()
-        sim.run()
+        os.makedirs(args.out, exist_ok=True)
+        sim.run(ckpt_path=os.path.join(args.out, "state.npz"))
         timings["production_s"] = round(time.time() - t0, 3)
     n_link_updates = (1 + cfg.n_or) * cfg.n_links * (cfg.sweeps + cfg.sweeps_therm)
     timings["link_updates_per_s"] = round(

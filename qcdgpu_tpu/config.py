@@ -34,6 +34,9 @@ class SimConfig:
     sweeps: int = 400  # production sweeps
     meas_every: int = 1  # measure every k-th production sweep
     reunit_every: int = 10  # reunitarize every k-th sweep (0 = never)
+    # periodic checkpoint interval in production sweeps (QCDGPU dumps full
+    # state every N sweeps so long runs are resumable); 0 = final save only
+    ckpt_every: int = 0
 
     # --- extended measurements ------------------------------------------
     # Field-strength tensor components (QCDGPU's get_Fmunu/get_F0mu with
@@ -84,6 +87,15 @@ class SimConfig:
             raise ValueError(f"unknown rng_mode {self.rng_mode!r}")
         if self.meas_dtype not in ("same", "double"):
             raise ValueError(f"unknown meas_dtype {self.meas_dtype!r}")
+        if self.ckpt_every < 0:
+            raise ValueError("ckpt_every must be >= 0")
+        if self.ckpt_every and self.meas_every and (
+            self.ckpt_every % self.meas_every
+        ):
+            raise ValueError(
+                "ckpt_every must be a multiple of meas_every so the "
+                "measurement series is independent of checkpoint chunking"
+            )
         nm1 = self.group * self.group - 1
         for a in (self.fmunu_index1, self.fmunu_index2):
             if not 0 <= a <= nm1:

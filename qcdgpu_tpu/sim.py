@@ -281,15 +281,34 @@ class Simulation:
         self.sweep_idx += n
         return self
 
-    def run(self, n: Optional[int] = None, measure_every: Optional[int] = None):
-        """Production sweeps; returns the observable series [n_meas, n_obs]."""
+    def run(self, n: Optional[int] = None, measure_every: Optional[int] = None,
+            ckpt_path: Optional[str] = None):
+        """Production sweeps; returns the observable series [n_meas, n_obs].
+
+        With ckpt_path and cfg.ckpt_every > 0, the full state is dumped
+        every ckpt_every sweeps (QCDGPU's periodic state save), so a long
+        run is resumable after an interruption.
+        """
         n = self.cfg.sweeps if n is None else n
         me = self.cfg.meas_every if measure_every is None else measure_every
-        self.u, obs = self._run(self.u, self.base_key, self.sweep_idx, n, me)
-        self.sweep_idx += n
-        obs = np.asarray(obs)
-        self.obs_history.append(obs)
-        return obs
+        every = self.cfg.ckpt_every if ckpt_path else 0
+        rows = []
+        left = n
+        while left > 0:
+            step = min(left, every) if every else left
+            self.u, obs = self._run(
+                self.u, self.base_key, self.sweep_idx, step, me
+            )
+            self.sweep_idx += step
+            left -= step
+            obs = np.asarray(obs)
+            if obs.size:
+                rows.append(obs)
+                self.obs_history.append(obs)
+            if every and (left > 0 or step == every):
+                self.save(ckpt_path)
+        return (np.concatenate(rows, axis=0) if rows
+                else np.zeros((0, len(obs_names(self.cfg))), np.float32))
 
     # -- measurement ------------------------------------------------------
     def measure(self) -> dict:

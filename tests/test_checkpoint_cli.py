@@ -53,6 +53,33 @@ def test_cli_run_and_resume(tmp_path):
     assert rec2["results"]["plq"]["n"] >= 1
 
 
+def test_periodic_checkpointing(tmp_path):
+    """cfg.ckpt_every: series identical to an unchunked run, and the mid-run
+    dump resumes to the same final chain (QCDGPU's periodic state save)."""
+    base = dict(group=2, dims=(4, 4, 4, 4), beta=2.3, sweeps_therm=0,
+                sweeps=6, meas_every=2, seed=9)
+    p = str(tmp_path / "ck.npz")
+
+    cfg_chunked = SimConfig(**base, ckpt_every=2)
+    sim_a = Simulation(cfg_chunked)
+    obs_a = sim_a.run(ckpt_path=p)
+    assert os.path.exists(p)
+
+    sim_b = Simulation(SimConfig(**base))
+    obs_b = sim_b.run()
+    # chunked and unchunked runs are different compiled programs, so agree
+    # to f32 rounding order only (same randomness, same sweep schedule)
+    np.testing.assert_allclose(obs_a, obs_b, atol=1e-6)
+
+    # the final dump must continue exactly like the in-memory chain
+    sim_c = Simulation.load(p)
+    assert sim_c.sweep_idx == sim_a.sweep_idx
+    np.testing.assert_array_equal(sim_c.run(4), sim_a.run(4))
+
+    with pytest.raises(ValueError):
+        SimConfig(**base, ckpt_every=3)  # not a multiple of meas_every
+
+
 def test_cli_config_file_with_overrides(tmp_path):
     cfgfile = tmp_path / "run.toml"
     cfgfile.write_text(
