@@ -179,14 +179,23 @@ def cmd_scan(args):
     from .utils import report
     from .utils.stats import analyze_series
 
-    cfg = _build_config(args)
-    betas = _parse_betas(args.betas)
-    scan = BetaScan(cfg, betas)
     t0 = time.time()
-    scan.thermalize()
-    obs = scan.run()  # [C, n_meas, n_obs]
+    if getattr(args, "resume_state", None):
+        scan = BetaScan.load(args.resume_state)
+        cfg = scan.cfg
+        betas = [float(b) for b in np.asarray(scan.betas)]
+        obs = scan.run(args.sweeps)
+    else:
+        cfg = _build_config(args)
+        if not args.betas:
+            raise SystemExit("scan requires --betas (or --resume-state)")
+        betas = _parse_betas(args.betas)
+        scan = BetaScan(cfg, betas)
+        scan.thermalize()
+        obs = scan.run()  # [C, n_meas, n_obs]
     timings = {"total_s": round(time.time() - t0, 3)}
     os.makedirs(args.out, exist_ok=True)
+    scan.save(os.path.join(args.out, "scan_state.npz"))
     from .ops.measure import measure_obs_names
 
     rows = []
@@ -218,6 +227,15 @@ def cmd_info(args):
     from .utils import report
 
     print(json.dumps(report.device_info(), indent=1))
+
+
+def cmd_validate(args):
+    from .validate import run_validation
+
+    configs = tuple(int(x) for x in args.configs.split(","))
+    ok, _ = run_validation(configs=configs, quick=args.quick,
+                           out_path=args.out)
+    return 0 if ok else 1
 
 
 def cmd_rngtest(args):
@@ -313,12 +331,23 @@ def main(argv=None):
 
     p = sub.add_parser("scan", help="beta scan (vmapped ensemble)")
     _add_run_args(p)
-    p.add_argument("--betas", required=True,
+    p.add_argument("--betas", default=None,
                    help="lo:hi:n or comma list, e.g. 5.6:6.1:11")
+    p.add_argument("--resume-state", dest="resume_state", default=None,
+                   help="continue a scan from its scan_state.npz")
     p.set_defaults(fn=cmd_scan)
 
     p = sub.add_parser("info", help="device/backend info")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("validate", help="physics acceptance suite "
+                       "(BASELINE configs vs literature)")
+    p.add_argument("--configs", default="1,2,3,4,5",
+                   help="comma list of BASELINE config numbers")
+    p.add_argument("--quick", action="store_true",
+                   help="reduced lattices/sweeps (minutes instead of hours)")
+    p.add_argument("--out", default=None, help="JSON report path")
+    p.set_defaults(fn=cmd_validate)
 
     p = sub.add_parser("rngtest", help="PRNG self-test / parity report")
     p.add_argument("--n", type=int, default=1 << 20,

@@ -152,3 +152,53 @@ class BetaScan:
         )
         self.sweep_idx += n
         return np.asarray(obs)  # [C, n_meas, n_obs]
+
+    # -- checkpoint (whole-ensemble state; same exactness guarantee as
+    #    Simulation.save — counter RNG means (keys, sweep_idx) is the full
+    #    PRNG state) ------------------------------------------------------
+    def save(self, path: str):
+        import json
+
+        from ..utils.checkpoint import FORMAT_VERSION, links_to_host
+
+        np.savez_compressed(
+            path,
+            version=np.int64(FORMAT_VERSION),
+            kind=np.bytes_(b"betascan"),
+            config_json=np.bytes_(
+                json.dumps(self.cfg.to_dict()).encode()
+            ),
+            betas=np.asarray(self.betas, np.float32),
+            keys=np.asarray(self.keys, np.uint32),
+            us_ri=links_to_host(self.us),
+            sweep_idx=np.int64(self.sweep_idx),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "BetaScan":
+        import json
+
+        import jax.numpy as jnp
+
+        from ..config import SimConfig
+        from ..utils.checkpoint import FORMAT_VERSION, links_from_host
+
+        with np.load(path, allow_pickle=False) as z:
+            if int(z["version"]) != FORMAT_VERSION:
+                raise ValueError(f"unsupported version {int(z['version'])}")
+            if bytes(z["kind"]) != b"betascan":
+                raise ValueError("not a BetaScan checkpoint")
+            cfg = SimConfig.from_dict(
+                json.loads(bytes(z["config_json"]).decode())
+            )
+            betas = z["betas"]
+            keys = jnp.asarray(z["keys"])
+            cdtype = (jnp.complex128 if cfg.dtype == "complex128"
+                      else jnp.complex64)
+            us = links_from_host(z["us_ri"], cdtype)
+            sweep_idx = int(z["sweep_idx"])
+        scan = cls(cfg, betas)
+        scan.keys = keys
+        scan.us = us
+        scan.sweep_idx = sweep_idx
+        return scan

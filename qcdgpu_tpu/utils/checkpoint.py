@@ -46,10 +46,12 @@ def links_from_host(ri: np.ndarray, cdtype):
 
 
 def save_state(path, cfg: SimConfig, u, sweep_idx: int, obs_history=None):
+    from ..ops.measure import obs_names
+
     obs = (
         np.concatenate([np.asarray(o) for o in obs_history], axis=0)
         if obs_history
-        else np.zeros((0, 6), np.float32)
+        else np.zeros((0, len(obs_names(cfg))), np.float32)
     )
     np.savez_compressed(
         path,

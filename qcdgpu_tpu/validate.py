@@ -1,0 +1,201 @@
+"""Physics acceptance harness: run the BASELINE configs, check literature.
+
+QCDGPU was verified by manually comparing runs against known lattice
+results (SURVEY.md §4 mechanism 3); this module formalizes that as a
+one-command acceptance suite over the BASELINE.md configs:
+
+  1. SU(2) heat-bath, 8^4, beta=2.4            -> mean plaquette vs 0.6300
+  2. SU(3) HB+OR (Cabibbo-Marinari), 16^4, 6.0 -> mean plaquette vs 0.5937
+  3. deconfinement scan on 24^3 x 6            -> Polyakov loop turns on
+                                                  across beta_c ~ 5.89
+  4. RNG parity (moments, all native reference generators vs threefry)
+  5. multi-chip 32^4 (skipped unless >= 2 devices are attached; its
+     correctness twin — sharded-vs-unsharded bit equality — runs in
+     tests/test_sharding.py on a virtual 8-device CPU mesh)
+
+Each check reports measured / expected / deviation and PASS/FAIL; the
+criterion is agreement within max(5 sigma_stat, systematic window), the
+"within Monte Carlo error" acceptance of BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+from .config import SimConfig
+from .sim import Simulation
+
+# literature anchors (SURVEY.md §6; loose systematic windows cover the
+# finite-volume differences of these exact lattice sizes)
+SU2_B24_PLQ = 0.6300
+SU2_WINDOW = 0.0020
+SU3_B60_PLQ = 0.5937
+SU3_WINDOW = 0.0020
+BETA_C_NT6 = 5.894  # SU(3) deconfinement coupling at N_t = 6
+
+
+def _run_chain(cfg: SimConfig):
+    sim = Simulation(cfg)
+    sim.thermalize()
+    sim.run()
+    st = sim.analysis()["plq"]
+    return sim, st
+
+
+def check_su2(quick=False):
+    cfg = SimConfig(
+        group=2, dims=(8, 8, 8, 8), beta=2.4, algorithm="heatbath",
+        sweeps_therm=100 if quick else 300,
+        sweeps=300 if quick else 1000, seed=42,
+    )
+    _, st = _run_chain(cfg)
+    dev = abs(st.mean - SU2_B24_PLQ)
+    tol = max(5 * st.err, SU2_WINDOW)
+    return {
+        "name": "SU(2) 8^4 beta=2.4 plaquette",
+        "measured": st.mean, "err": st.err, "expected": SU2_B24_PLQ,
+        "tolerance": tol, "pass": bool(dev < tol),
+    }
+
+
+def check_su3(quick=False):
+    cfg = SimConfig(
+        group=3, dims=(16, 16, 16, 16), beta=6.0, algorithm="heatbath",
+        n_or=1, sweeps_therm=100 if quick else 300,
+        sweeps=200 if quick else 600, seed=7,
+    )
+    _, st = _run_chain(cfg)
+    dev = abs(st.mean - SU3_B60_PLQ)
+    tol = max(5 * st.err, SU3_WINDOW)
+    return {
+        "name": "SU(3) 16^4 beta=6.0 plaquette (HB + OR)",
+        "measured": st.mean, "err": st.err, "expected": SU3_B60_PLQ,
+        "tolerance": tol, "pass": bool(dev < tol),
+    }
+
+
+def check_deconfinement(quick=False):
+    """|Polyakov| must be ~0 below beta_c(Nt=6) and clearly nonzero above."""
+    from .models.ensemble import BetaScan
+    from .ops.measure import measure_obs_names
+
+    dims = (12, 12, 12, 6) if quick else (24, 24, 24, 6)
+    betas = [BETA_C_NT6 - 0.25, BETA_C_NT6 + 0.25]
+    cfg = SimConfig(
+        group=3, dims=dims, beta=betas[0], algorithm="heatbath", n_or=1,
+        sweeps_therm=100 if quick else 200,
+        sweeps=150 if quick else 300, seed=5,
+    )
+    scan = BetaScan(cfg, betas)
+    scan.thermalize()
+    obs = scan.run()  # [2, n_meas, n_obs]
+    names = list(measure_obs_names(cfg))
+    i_re, i_im = names.index("poly_re"), names.index("poly_im")
+    pabs = np.abs(obs[:, :, i_re] + 1j * obs[:, :, i_im]).mean(axis=1)
+    lo, hi = float(pabs[0]), float(pabs[1])
+    return {
+        "name": f"deconfinement {dims[0]}^3x6: |P| across beta_c={BETA_C_NT6}",
+        "measured": {"below": lo, "above": hi},
+        "expected": "|P|(above) > 3 * |P|(below) and |P|(above) > 0.05",
+        "pass": bool(hi > 3 * lo and hi > 0.05),
+    }
+
+
+def check_rng(quick=False):
+    from .native import prngcl
+    from .ops import rng as jrng
+    import jax.numpy as jnp
+
+    n = 1 << (18 if quick else 20)
+    key = jrng.make_base_key(13)
+    sidx = jnp.arange((n + 15) // 16, dtype=jnp.uint32)
+    streams = {"threefry": np.asarray(
+        jrng.site_uniforms(key, sidx, 16), np.float64).ravel()[:n]}
+    if prngcl.available():
+        for g in ("ranlux3", "xor128", "mrg32k3a"):
+            streams[g] = np.asarray(prngcl.fill(g, 17, n))
+    worst = {}
+    for name, u in streams.items():
+        sig = 0.0
+        for k in (1, 2, 3, 4):
+            err = np.sqrt((1.0 / (2 * k + 1) - 1.0 / (k + 1) ** 2) / n)
+            sig = max(sig, abs(float(np.mean(u ** k)) - 1.0 / (k + 1)) / err)
+        worst[name] = round(sig, 2)
+    return {
+        "name": "RNG parity (uniform moments, threefry vs reference family)",
+        "measured": worst, "expected": "max |sigma| < 6 per generator",
+        "pass": bool(max(worst.values()) < 6.0),
+    }
+
+
+def check_multichip(quick=False):
+    import jax
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        return {
+            "name": "multi-chip SU(3) 32^4 (BASELINE config 5)",
+            "skipped": f"only {n_dev} device attached; sharded-vs-unsharded "
+                       "bit equality runs in tests/test_sharding.py on a "
+                       "virtual 8-device CPU mesh",
+            "pass": None,
+        }
+    from .parallel.mesh import mesh_for_config, shard_links
+
+    mx = 2 ** int(np.log2(n_dev))
+    cfg = SimConfig(
+        group=3, dims=(32, 32, 32, 32), beta=6.0, n_or=1,
+        mesh=(mx, 1, 1, 1), sweeps_therm=50 if quick else 150,
+        sweeps=100 if quick else 300, seed=3,
+    )
+    sim = Simulation(cfg)
+    sim.u = shard_links(sim.u, mesh_for_config(cfg))
+    sim.thermalize()
+    sim.run()
+    st = sim.analysis()["plq"]
+    dev = abs(st.mean - SU3_B60_PLQ)
+    tol = max(5 * st.err, SU3_WINDOW)
+    return {
+        "name": f"multi-chip SU(3) 32^4 over {mx} devices",
+        "measured": st.mean, "err": st.err, "expected": SU3_B60_PLQ,
+        "tolerance": tol, "pass": bool(dev < tol),
+    }
+
+
+CHECKS = {
+    1: check_su2,
+    2: check_su3,
+    3: check_deconfinement,
+    4: check_rng,
+    5: check_multichip,
+}
+
+
+def run_validation(configs=(1, 2, 3, 4, 5), quick=False, out_path=None):
+    results = []
+    for c in configs:
+        t0 = time.time()
+        r = CHECKS[c](quick=quick)
+        r["config"] = c
+        r["seconds"] = round(time.time() - t0, 1)
+        results.append(r)
+        status = ("SKIP" if r["pass"] is None
+                  else "PASS" if r["pass"] else "FAIL")
+        print(f"[{status}] #{c} {r['name']}  ({r['seconds']}s)")
+        for k in ("measured", "err", "expected", "tolerance", "skipped"):
+            if k in r and r[k] is not None:
+                print(f"       {k}: {r[k]}")
+    ok = all(r["pass"] is not False for r in results)
+    print(f"=> validation {'PASSED' if ok else 'FAILED'} "
+          f"({sum(1 for r in results if r['pass'] is True)} pass, "
+          f"{sum(1 for r in results if r['pass'] is False)} fail, "
+          f"{sum(1 for r in results if r['pass'] is None)} skip)")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"quick": quick, "results": results}, f, indent=1,
+                      default=float)
+        print(f"wrote {out_path}")
+    return ok, results

@@ -93,6 +93,34 @@ def test_cli_config_file_with_overrides(tmp_path):
     assert rec["config"]["group"] == 2
 
 
+def test_betascan_checkpoint_roundtrip(tmp_path):
+    from qcdgpu_tpu.models.ensemble import BetaScan
+
+    cfg = SimConfig(group=2, dims=(4, 4, 4, 4), beta=2.0, sweeps_therm=0,
+                    sweeps=2, seed=4)
+    scan = BetaScan(cfg, [1.5, 2.5])
+    scan.thermalize(2)
+    p = str(tmp_path / "scan.npz")
+    scan.save(p)
+    scan2 = BetaScan.load(p)
+    assert scan2.sweep_idx == scan.sweep_idx
+    np.testing.assert_array_equal(scan2.run(2), scan.run(2))
+
+
+def test_cli_scan_resume(tmp_path):
+    out = str(tmp_path / "scan0")
+    cli_main([
+        "scan", "--group", "2", "--dims", "4,4,4,4", "--betas", "1.0,3.0",
+        "--therm", "1", "--sweeps", "2", "--seed", "2", "--out", out,
+    ])
+    out2 = str(tmp_path / "scan1")
+    cli_main(["scan", "--resume-state", os.path.join(out, "scan_state.npz"),
+              "--sweeps", "2", "--out", out2])
+    rec = json.load(open(os.path.join(out2, "scan.json")))
+    assert len(rec["scan"]) == 2
+    assert os.path.exists(os.path.join(out2, "scan_state.npz"))
+
+
 def test_cli_scan(tmp_path):
     out = str(tmp_path / "scan")
     cli_main([
