@@ -157,6 +157,19 @@ def cmd_run(args):
     timings["link_updates_per_s"] = round(
         n_link_updates / max(timings["thermalize_s"] + timings["production_s"], 1e-9)
     )
+    # per-phase breakdown (QCDGPU's per-kernel totals analogue; use
+    # --profile for a true per-kernel jax.profiler trace)
+    if cfg.sweeps_therm:
+        timings["ms_per_sweep"] = round(
+            1e3 * timings["thermalize_s"] / cfg.sweeps_therm, 3
+        )
+    if cfg.sweeps:
+        with_meas = 1e3 * timings["production_s"] / cfg.sweeps
+        timings["ms_per_sweep_with_meas"] = round(with_meas, 3)
+        if cfg.sweeps_therm and cfg.meas_every:
+            timings["ms_per_measurement"] = round(
+                (with_meas - timings["ms_per_sweep"]) * cfg.meas_every, 3
+            )
     if getattr(args, "profile", None):
         timings["profile_trace"] = args.profile
     _finish_run(sim, args, timings)

@@ -18,19 +18,12 @@ up to f32 rounding-order differences in the matrix arithmetic.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
 from ...config import SimConfig
 from .. import rng
-from ..measure import (
-    cfg_fmunu_indices,
-    fmunu_means,
-    obs_names,
-    polyakov_from_ut,
-)
+from ..measure import cfg_fmunu_indices, fmunu_means, polyakov_from_ut
 from . import measure as pmeasure
 from . import update as pupdate
 from .reunit import reunitarize_dir
@@ -189,34 +182,14 @@ def measure_all_split(us, dims, interpret=False, cfg=None):
 
 def make_pallas_chunk_runner(cfg: SimConfig, interpret=False):
     """Pallas counterpart of sim.make_chunk_runner (same signature)."""
+    from ...runner import build_chunk_runner
+
     sweep = make_pallas_sweep(cfg, interpret=interpret)
     dims = tuple(cfg.dims)
-    n_obs = len(obs_names(cfg))
-
-    @partial(jax.jit, static_argnums=(3, 4))
-    def run(u, base_key, sweep0, n_sweeps, measure_every):
-        us = split_links(u)
-
-        def sweeps_only(us, first, count):
-            def body(i, us):
-                return sweep(us, base_key, first + i)
-            return jax.lax.fori_loop(0, count, body, us)
-
-        if not measure_every:
-            us = sweeps_only(us, sweep0, n_sweeps)
-            return join_links(us, dims), jnp.zeros((0, n_obs), jnp.float32)
-
-        n_blocks = n_sweeps // measure_every
-        rem = n_sweeps - n_blocks * measure_every
-
-        def block(us, b):
-            us = sweeps_only(us, sweep0 + b * measure_every, measure_every)
-            return us, measure_all_split(us, dims, interpret=interpret,
-                                         cfg=cfg)
-
-        us, obs = jax.lax.scan(block, us, jnp.arange(n_blocks))
-        if rem:
-            us = sweeps_only(us, sweep0 + n_blocks * measure_every, rem)
-        return join_links(us, dims), obs
-
-    return run
+    return build_chunk_runner(
+        cfg,
+        sweep,
+        lambda us: measure_all_split(us, dims, interpret=interpret, cfg=cfg),
+        pack=split_links,
+        unpack=lambda us: join_links(us, dims),
+    )

@@ -22,15 +22,13 @@ XLA partitions into halo exchanges automatically (parallel/mesh.py).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ...config import SimConfig
 from .. import rng
-from ..measure import make_measure_fn, obs_names
+from ..measure import make_measure_fn
 from . import update as pupdate
 from .engine import join_links, split_links
 from .reunit import reunitarize_dir
@@ -112,36 +110,16 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
         check_vma=False,
     )
 
+    from ...runner import build_chunk_runner
+
     measure_fn = make_measure_fn(cfg)
-    n_obs = len(obs_names(cfg))
-
-    @partial(jax.jit, static_argnums=(3, 4))
-    def run(u, base_key, sweep0, n_sweeps, measure_every):
-        us = split_links(u)
-        beta = jnp.float32(cfg.beta)
-
-        def sweeps_only(us, first, count):
-            def body(i, us):
-                return sweep_sharded(us, base_key, first + i, beta)
-            return jax.lax.fori_loop(0, count, body, us)
-
-        if not measure_every:
-            us = sweeps_only(us, sweep0, n_sweeps)
-            return join_links(us, dims), jnp.zeros((0, n_obs), jnp.float32)
-
-        n_blocks = n_sweeps // measure_every
-        rem = n_sweeps - n_blocks * measure_every
-
-        def block(us, b):
-            us = sweeps_only(us, sweep0 + b * measure_every, measure_every)
-            # measurement via the XLA path on the reconstructed complex
-            # field: XLA's SPMD partitioner turns its rolls into halo
-            # exchanges automatically
-            return us, measure_fn(join_links(us, dims))
-
-        us, obs = jax.lax.scan(block, us, jnp.arange(n_blocks))
-        if rem:
-            us = sweeps_only(us, sweep0 + n_blocks * measure_every, rem)
-        return join_links(us, dims), obs
-
-    return run
+    beta = jnp.float32(cfg.beta)
+    # measurement via the XLA path on the reconstructed complex field:
+    # XLA's SPMD partitioner turns its rolls into halo exchanges
+    return build_chunk_runner(
+        cfg,
+        lambda us, key, i: sweep_sharded(us, key, i, beta),
+        lambda us: measure_fn(join_links(us, dims)),
+        pack=split_links,
+        unpack=lambda us: join_links(us, dims),
+    )

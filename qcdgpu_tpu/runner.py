@@ -1,0 +1,112 @@
+"""Generic chunk runner: compile-count-bounded sweep/measure loops.
+
+Every engine (XLA, Pallas, sharded Pallas) drives its sweeps through
+``build_chunk_runner``.  The external contract is
+
+    run(u, base_key, sweep0, n_sweeps, measure_every) -> (u', obs)
+
+with obs a ``[n_sweeps // measure_every, n_obs]`` float32 series.
+
+Compilation strategy: a jitted program whose *sweep count is a traced
+scalar* serves every unmeasured stretch, and a fixed-buffer measured
+program (``MEAS_BLOCK_CHUNK`` measurement blocks max per call, block
+count traced, rows stored by dynamic index) serves every measured
+stretch — so one config compiles at most two programs per
+measure_every value, independent of how many different run lengths the
+host requests.  On a tunneled TPU, where a cold XLA compile of the full
+sweep costs minutes, this is the difference between "thermalize(30)
+recompiles" and "every run length reuses the same binary" — the role
+QCDGPU's on-disk kernel binary cache played for its OpenCL programs
+(SURVEY.md §2 "OpenCL wrapper").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .ops.measure import obs_names
+
+# measurement blocks per compiled call: large enough to amortize one
+# host->device dispatch over many sweeps, small enough that the row
+# buffer stays trivial
+MEAS_BLOCK_CHUNK = 64
+
+
+def build_chunk_runner(cfg, sweep, measure_state, pack=None, unpack=None,
+                       with_acc=False):
+    """Build the chunk runner for one engine.
+
+    sweep(state, key, sweep_idx) -> state'   (or (state', acc_rate) when
+        with_acc — the Metropolis acceptance accumulator)
+    measure_state(state) -> float32 measurement row (no acc column)
+    pack / unpack: canonical complex link field <-> engine state
+        (identity by default; the Pallas engines use split/join here, so
+        conversions happen once per compiled call, not per sweep).
+    """
+    pack = pack or (lambda u: u)
+    unpack = unpack or (lambda s: s)
+    n_obs = len(obs_names(cfg))
+
+    def sweeps_carry(carry, key, first, count):
+        def body(i, carry):
+            st, acc = carry
+            r = sweep(st, key, first + i)
+            if with_acc:
+                st2, a = r
+                return st2, acc + a
+            return r, acc
+
+        return jax.lax.fori_loop(0, count, body, carry)
+
+    @jax.jit
+    def run_nomeas(u, key, sweep0, n):
+        st, _ = sweeps_carry((pack(u), jnp.float32(0.0)), key, sweep0, n)
+        return unpack(st)
+
+    @partial(jax.jit, static_argnums=(4,))
+    def run_meas(u, key, sweep0, n_blocks, me):
+        st = pack(u)
+        buf = jnp.zeros((MEAS_BLOCK_CHUNK, n_obs), jnp.float32)
+
+        def blk(b, carry):
+            st, buf = carry
+            st, acc = sweeps_carry(
+                (st, jnp.float32(0.0)), key, sweep0 + b * me, me
+            )
+            row = measure_state(st)
+            if with_acc:
+                row = jnp.concatenate(
+                    [row, (acc / me)[None].astype(jnp.float32)]
+                )
+            return st, jax.lax.dynamic_update_slice(buf, row[None], (b, 0))
+
+        st, buf = jax.lax.fori_loop(0, n_blocks, blk, (st, buf))
+        return unpack(st), buf
+
+    def run(u, base_key, sweep0, n_sweeps, measure_every):
+        if not measure_every:
+            if n_sweeps:
+                u = run_nomeas(u, base_key, sweep0, n_sweeps)
+            return u, jnp.zeros((0, n_obs), jnp.float32)
+        me = int(measure_every)
+        n_blocks = n_sweeps // me
+        rows = []
+        s0 = sweep0
+        left = n_blocks
+        while left > 0:
+            nb = min(left, MEAS_BLOCK_CHUNK)
+            u, buf = run_meas(u, base_key, s0, nb, me)
+            rows.append(buf[:nb])
+            left -= nb
+            s0 += nb * me
+        rem = n_sweeps - n_blocks * me
+        if rem:
+            u = run_nomeas(u, base_key, s0, rem)
+        obs = (jnp.concatenate(rows, axis=0) if rows
+               else jnp.zeros((0, n_obs), jnp.float32))
+        return u, obs
+
+    return run

@@ -16,7 +16,6 @@ entire direction field.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -194,55 +193,12 @@ def make_chunk_runner(cfg: SimConfig):
         from .ops.pallas.engine import make_pallas_chunk_runner
 
         return make_pallas_chunk_runner(cfg)
-    with_acc = cfg.track_acceptance
-    sweep = make_sweep_fn(cfg, with_acc=with_acc)
-    measure_fn = make_measure_fn(cfg)
-    n_obs = len(obs_names(cfg))
+    from .runner import build_chunk_runner
 
-    @partial(jax.jit, static_argnums=(3, 4))
-    def run(u, base_key, sweep0, n_sweeps, measure_every):
-        def sweeps_only(carry, first, count):
-            # carry = (u, acc_sum); acc_sum accumulates the per-sweep
-            # Metropolis acceptance when tracking (else stays 0)
-            def body(i, carry):
-                u, acc_sum = carry
-                r = sweep(u, base_key, first + i)
-                if with_acc:
-                    u, acc = r
-                    return u, acc_sum + acc
-                return r, acc_sum
-
-            return jax.lax.fori_loop(0, count, body, carry)
-
-        if not measure_every:
-            u, _ = sweeps_only((u, jnp.float32(0.0)), sweep0, n_sweeps)
-            return u, jnp.zeros((0, n_obs), jnp.float32)
-
-        # scan over measurement blocks: meas_every sweeps + one unconditional
-        # measurement per block (a per-sweep lax.cond measurement made the
-        # XLA graph much slower to compile for zero runtime benefit)
-        n_blocks = n_sweeps // measure_every
-        rem = n_sweeps - n_blocks * measure_every
-
-        def block(u, b):
-            u, acc_sum = sweeps_only(
-                (u, jnp.float32(0.0)), sweep0 + b * measure_every, measure_every
-            )
-            row = measure_fn(u)
-            if with_acc:
-                row = jnp.concatenate(
-                    [row, (acc_sum / measure_every)[None].astype(jnp.float32)]
-                )
-            return u, row
-
-        u, obs = jax.lax.scan(block, u, jnp.arange(n_blocks))
-        if rem:
-            u, _ = sweeps_only(
-                (u, jnp.float32(0.0)), sweep0 + n_blocks * measure_every, rem
-            )
-        return u, obs
-
-    return run
+    sweep = make_sweep_fn(cfg, with_acc=cfg.track_acceptance)
+    return build_chunk_runner(
+        cfg, sweep, make_measure_fn(cfg), with_acc=cfg.track_acceptance
+    )
 
 
 # ---------------------------------------------------------------------------
