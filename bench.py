@@ -31,8 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_LINK_UPDATES_PER_S = 1.8e8  # derived ceiling, see module docstring
 
 DIMS = (32, 32, 32, 32)
-WARM_SWEEPS = 5
-BENCH_SWEEPS = 20
+BENCH_SWEEPS = 100
 
 
 def main():
@@ -41,8 +40,6 @@ def main():
 
     enable_persistent_cache()
 
-    import jax
-    import jax.numpy as jnp
 
     cfg = SimConfig(
         group=3,
@@ -61,19 +58,12 @@ def main():
     )
     sim = Simulation(cfg)
 
-    # block_until_ready does not actually block on the tunneled TPU
-    # backend; force completion with a jitted on-device reduce + host fetch.
-    sync_fn = jax.jit(lambda u: jnp.sum(jnp.real(u[0, 0, 0, 0, 0, 0, :])))
-
-    def sync():
-        return float(jax.device_get(sync_fn(sim.u)))
-
-    # compile + warm (same static chunk size as the timed run)
+    # compile + warm; sim.sync() is the tunnel-safe device barrier
     sim.thermalize(BENCH_SWEEPS)
-    sync()
+    sim.sync()
     t0 = time.perf_counter()
     sim.thermalize(BENCH_SWEEPS)
-    sync()
+    sim.sync()
     dt = time.perf_counter() - t0
 
     n_links = 4 * cfg.volume

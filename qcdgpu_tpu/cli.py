@@ -147,11 +147,16 @@ def cmd_run(args):
     timings = {}
     with trace(getattr(args, "profile", None)):
         t0 = time.time()
+        sim.warmup()
+        timings["compile_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
         sim.thermalize()
+        sim.sync()
         timings["thermalize_s"] = round(time.time() - t0, 3)
         t0 = time.time()
         os.makedirs(args.out, exist_ok=True)
         sim.run(ckpt_path=os.path.join(args.out, "state.npz"))
+        sim.sync()
         timings["production_s"] = round(time.time() - t0, 3)
     n_link_updates = (1 + cfg.n_or) * cfg.n_links * (cfg.sweeps + cfg.sweeps_therm)
     timings["link_updates_per_s"] = round(
@@ -180,8 +185,12 @@ def cmd_resume(args):
 
     sim = Simulation.load(args.checkpoint)
     t0 = time.time()
+    sim.warmup()
+    timings = {"compile_s": round(time.time() - t0, 3)}
+    t0 = time.time()
     sim.run(args.sweeps)
-    timings = {"production_s": round(time.time() - t0, 3)}
+    sim.sync()
+    timings["production_s"] = round(time.time() - t0, 3)
     _finish_run(sim, args, timings)
 
 

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import fastmath as fm
 from . import core
 
 NDIM = 4
@@ -105,8 +106,8 @@ def heatbath_flip(q_w, two_beta_over_n, u, k_trials):
     ok = None
     for t in range(k_trials):
         r1, r2, r3, r4 = u[4 * t], u[4 * t + 1], u[4 * t + 2], u[4 * t + 3]
-        c = jnp.cos(jnp.float32(TWO_PI) * r2)
-        lam2 = -inv2a * (jnp.log(r1) + c * c * jnp.log(r3))
+        c = fm.cos_2pi(r2)
+        lam2 = -inv2a * (fm.log_u01(r1) + c * c * fm.log_u01(r3))
         acc = (r4 * r4) <= (1.0 - lam2)
         if t == 0:
             lam2_sel, ok = lam2, acc
@@ -118,8 +119,8 @@ def heatbath_flip(q_w, two_beta_over_n, u, k_trials):
     rho = jnp.sqrt(jnp.maximum(1.0 - x0 * x0, 0.0))
     ct = 2.0 * u[4 * k_trials] - 1.0
     st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
-    ph = jnp.float32(TWO_PI) * u[4 * k_trials + 1]
-    w = (x0, rho * st * jnp.cos(ph), rho * st * jnp.sin(ph), rho * ct)
+    sph, cph = fm.sincos_2pi(u[4 * k_trials + 1])
+    w = (x0, rho * st * cph, rho * st * sph, rho * ct)
     unew = quat_mul(w, quat_conj(v))
     good = ok & (k > 1e-30)
     ident = _identity_quat(k.shape)
@@ -150,7 +151,7 @@ def metropolis_flip(q_w, two_beta_over_n, uu, n_hit, delta):
         w = (w0 / nrm, w1 / nrm, w2 / nrm, w3 / nrm)
         new0 = quat_mul(w, q_cur)[0]
         dlp = two_beta_over_n * (new0 - q_cur[0])
-        accept = jnp.log(u[3]) < dlp
+        accept = fm.log_u01(u[3]) < dlp
         w_eff = tuple(jnp.where(accept, w[c], ident[c]) for c in range(4))
         acc_u = quat_mul(w_eff, acc_u)
         q_cur = quat_mul(w_eff, q_cur)

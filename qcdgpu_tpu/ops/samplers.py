@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from . import fastmath as fm
 from . import rng, sun
 
 TWO_PI = np.float32(2.0 * np.pi)
@@ -47,8 +48,8 @@ def kp_trial_quat(a, utr, udir, eps=1e-10):
     """
     inv2a = 1.0 / (2.0 * jnp.maximum(a, eps))
     r1, r2, r3, r4 = utr[:, 0], utr[:, 1], utr[:, 2], utr[:, 3]
-    c = jnp.cos(TWO_PI * r2)
-    lam2 = -inv2a * (jnp.log(r1) + c * c * jnp.log(r3))  # [K, *sites]
+    c = fm.cos_2pi(r2)
+    lam2 = -inv2a * (fm.log_u01(r1) + c * c * fm.log_u01(r3))  # [K, *sites]
     acc = (r4 * r4) <= (1.0 - lam2)
     # first accepted trial (argmax picks the first True)
     idx = jnp.argmax(acc, axis=0)
@@ -59,8 +60,8 @@ def kp_trial_quat(a, utr, udir, eps=1e-10):
     rho = jnp.sqrt(jnp.maximum(1.0 - x0 * x0, 0.0))
     ct = 2.0 * udir[0] - 1.0
     st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
-    ph = TWO_PI * udir[1]
-    w = jnp.stack([x0, rho * st * jnp.cos(ph), rho * st * jnp.sin(ph), rho * ct], axis=0)
+    sph, cph = fm.sincos_2pi(udir[1])
+    w = jnp.stack([x0, rho * st * cph, rho * st * sph, rho * ct], axis=0)
     return w, ok
 
 
@@ -133,7 +134,7 @@ def metropolis_flip(q_w, two_beta_over_n, uu, n_hit, delta, with_acc=False):
         # dS_local in log-prob form
         new0 = sun.quat_mul(w, q_cur)[0]
         dlp = two_beta_over_n * (new0 - q_cur[0])
-        accept = jnp.log(u[3]) < dlp
+        accept = fm.log_u01(u[3]) < dlp
         if with_acc:
             acc_frac = acc_frac + jnp.mean(accept.astype(jnp.float32))
         w_eff = jnp.where(accept[None], w, _identity_quat_like(q_cur))

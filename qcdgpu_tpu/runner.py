@@ -46,6 +46,7 @@ def build_chunk_runner(cfg, sweep, measure_state, pack=None, unpack=None,
         (identity by default; the Pallas engines use split/join here, so
         conversions happen once per compiled call, not per sweep).
     """
+    identity_layout = pack is None
     pack = pack or (lambda u: u)
     unpack = unpack or (lambda s: s)
     n_obs = len(obs_names(cfg))
@@ -62,13 +63,12 @@ def build_chunk_runner(cfg, sweep, measure_state, pack=None, unpack=None,
         return jax.lax.fori_loop(0, count, body, carry)
 
     @jax.jit
-    def run_nomeas(u, key, sweep0, n):
-        st, _ = sweeps_carry((pack(u), jnp.float32(0.0)), key, sweep0, n)
-        return unpack(st)
+    def run_nomeas(st, key, sweep0, n):
+        st, _ = sweeps_carry((st, jnp.float32(0.0)), key, sweep0, n)
+        return st
 
     @partial(jax.jit, static_argnums=(4,))
-    def run_meas(u, key, sweep0, n_blocks, me):
-        st = pack(u)
+    def run_meas(st, key, sweep0, n_blocks, me):
         buf = jnp.zeros((MEAS_BLOCK_CHUNK, n_obs), jnp.float32)
 
         def blk(b, carry):
@@ -84,13 +84,14 @@ def build_chunk_runner(cfg, sweep, measure_state, pack=None, unpack=None,
             return st, jax.lax.dynamic_update_slice(buf, row[None], (b, 0))
 
         st, buf = jax.lax.fori_loop(0, n_blocks, blk, (st, buf))
-        return unpack(st), buf
+        return st, buf
 
-    def run(u, base_key, sweep0, n_sweeps, measure_every):
+    def run_packed(st, base_key, sweep0, n_sweeps, measure_every):
+        """Drive sweeps on engine-layout state (no conversions)."""
         if not measure_every:
             if n_sweeps:
-                u = run_nomeas(u, base_key, sweep0, n_sweeps)
-            return u, jnp.zeros((0, n_obs), jnp.float32)
+                st = run_nomeas(st, base_key, sweep0, n_sweeps)
+            return st, jnp.zeros((0, n_obs), jnp.float32)
         me = int(measure_every)
         n_blocks = n_sweeps // me
         rows = []
@@ -98,15 +99,32 @@ def build_chunk_runner(cfg, sweep, measure_state, pack=None, unpack=None,
         left = n_blocks
         while left > 0:
             nb = min(left, MEAS_BLOCK_CHUNK)
-            u, buf = run_meas(u, base_key, s0, nb, me)
+            st, buf = run_meas(st, base_key, s0, nb, me)
             rows.append(buf[:nb])
             left -= nb
             s0 += nb * me
         rem = n_sweeps - n_blocks * me
         if rem:
-            u = run_nomeas(u, base_key, s0, rem)
+            st = run_nomeas(st, base_key, s0, rem)
         obs = (jnp.concatenate(rows, axis=0) if rows
                else jnp.zeros((0, n_obs), jnp.float32))
-        return u, obs
+        return st, obs
 
+    def run(u, base_key, sweep0, n_sweeps, measure_every):
+        st, obs = run_packed(
+            run.pack(u), base_key, sweep0, n_sweeps, measure_every
+        )
+        return run.unpack(st), obs
+
+    # engine-layout entry points: the Simulation driver keeps state packed
+    # across chunk calls (conversions only at checkpoint/one-off-measure
+    # boundaries — QCDGPU likewise kept links device-resident between
+    # kernel launches and read them back only to save state)
+    run.packed = run_packed
+    if identity_layout:
+        run.pack = lambda u: u
+        run.unpack = lambda st: st
+    else:
+        run.pack = jax.jit(pack)
+        run.unpack = jax.jit(unpack)
     return run

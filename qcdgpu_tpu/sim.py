@@ -219,6 +219,9 @@ class Simulation:
         self.base_key = rng.make_base_key(cfg.seed)
         self._run = make_chunk_runner(cfg)
         self._measure_jit = jax.jit(make_measure_fn(cfg))
+        self._sync_jit = None
+        self._u = None       # canonical complex link field (lazy)
+        self._us = None      # engine-layout state (lazy)
         self.sweep_idx = 0
         self.obs_history: list[np.ndarray] = []
         if init_u is not None:
@@ -228,12 +231,73 @@ class Simulation:
         else:  # "cold" (and "continue" callers pass init_u or use load())
             self.u = cold_start(cfg)
 
+    # -- state layouts ----------------------------------------------------
+    # The engine-layout state stays device-resident across chunk calls;
+    # the canonical complex field is materialized only when something on
+    # the host boundary needs it (checkpoint, one-off measurement,
+    # resharding).  QCDGPU kept links in device buffers between kernel
+    # launches the same way, reading back only to save state.
+    @property
+    def u(self):
+        if self._u is None:
+            self._u = self._run.unpack(self._us)
+        return self._u
+
+    @u.setter
+    def u(self, value):
+        self._u = value
+        self._us = None
+
+    @property
+    def _packed(self):
+        if self._us is None:
+            self._us = self._run.pack(self._u)
+        return self._us
+
     # -- simulation -------------------------------------------------------
+    def sync(self) -> float:
+        """Block until all queued device work on the links has finished.
+
+        jax.block_until_ready is unreliable on the tunneled TPU backend;
+        fetching a jitted scalar reduction (real part only — complex
+        device->host transfer is unimplemented there) is the portable
+        barrier.  Returns the fetched scalar so callers can't be DCE'd.
+        """
+        if self._sync_jit is None:
+            self._sync_jit = jax.jit(
+                lambda st: sum(
+                    jnp.sum(jnp.real(x)).astype(jnp.float32)
+                    for x in jax.tree_util.tree_leaves(st)
+                )
+            )
+        # sync on whichever layout is live (avoid forcing a conversion)
+        st = self._us if self._us is not None else self._u
+        return float(jax.device_get(self._sync_jit(st)))
+
+    def warmup(self):
+        """Compile every program thermalize()/run() will use, without
+        advancing the chain: state is functional, so running the chunk
+        runner on the current links and discarding the result has no side
+        effects.  Afterwards, wall-clock timings measure pure execution —
+        the role QCDGPU's on-disk binary cache + cl_event times played
+        (compile time never contaminated its reported kernel times).
+        """
+        me = self.cfg.meas_every
+        st = self._packed
+        self._run.packed(st, self.base_key, self.sweep_idx, 1, 0)
+        if me:
+            self._run.packed(st, self.base_key, self.sweep_idx, me, me)
+        self.sync()
+        return self
+
     def thermalize(self, n: Optional[int] = None):
         n = self.cfg.sweeps_therm if n is None else n
         if n <= 0:
             return self
-        self.u, _ = self._run(self.u, self.base_key, self.sweep_idx, n, 0)
+        st, _ = self._run.packed(
+            self._packed, self.base_key, self.sweep_idx, n, 0
+        )
+        self._us, self._u = st, None
         self.sweep_idx += n
         return self
 
@@ -252,9 +316,10 @@ class Simulation:
         left = n
         while left > 0:
             step = min(left, every) if every else left
-            self.u, obs = self._run(
-                self.u, self.base_key, self.sweep_idx, step, me
+            st, obs = self._run.packed(
+                self._packed, self.base_key, self.sweep_idx, step, me
             )
+            self._us, self._u = st, None
             self.sweep_idx += step
             left -= step
             obs = np.asarray(obs)
