@@ -201,21 +201,29 @@ def cmd_scan(args):
     from .utils import report
     from .utils.stats import analyze_series
 
-    t0 = time.time()
     if getattr(args, "resume_state", None):
         scan = BetaScan.load(args.resume_state)
         cfg = scan.cfg
         betas = [float(b) for b in np.asarray(scan.betas)]
+        t0 = time.time()
+        scan.warmup()
+        timings = {"compile_s": round(time.time() - t0, 3)}
+        t0 = time.time()
         obs = scan.run(args.sweeps)
+        timings["total_s"] = round(time.time() - t0, 3)
     else:
         cfg = _build_config(args)
         if not args.betas:
             raise SystemExit("scan requires --betas (or --resume-state)")
         betas = _parse_betas(args.betas)
         scan = BetaScan(cfg, betas)
+        t0 = time.time()
+        scan.warmup()
+        timings = {"compile_s": round(time.time() - t0, 3)}
+        t0 = time.time()
         scan.thermalize()
         obs = scan.run()  # [C, n_meas, n_obs]
-    timings = {"total_s": round(time.time() - t0, 3)}
+        timings["total_s"] = round(time.time() - t0, 3)
     os.makedirs(args.out, exist_ok=True)
     scan.save(os.path.join(args.out, "scan_state.npz"))
     from .ops.measure import measure_obs_names

@@ -9,7 +9,7 @@ across chains, so a whole beta grid costs one kernel launch per stage
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import numpy as np
 import jax
@@ -21,100 +21,64 @@ from ..ops.measure import make_measure_fn, measure_obs_names
 from ..sim import cold_start, hot_start, make_sweep_fn
 
 
-def make_ensemble_runner(cfg: SimConfig):
-    """Runner over C chains with per-chain beta.
+def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False):
+    """Runner over C = n_chains chains with per-chain beta.
 
-    Returns run(us [C, ...], betas [C], keys [C, 2], sweep0, n_sweeps,
-    measure_every) -> (us', obs [C, n_meas, n_obs]).
+    Built on the shared chunk runner (qcdgpu_tpu/runner.py) so the
+    ensemble inherits its compile-count guarantees (traced sweep counts,
+    fixed measurement buffer) and engine-layout entry points.  Runner
+    state is (per-chain engine state, betas [C], keys [C, 2]) — betas and
+    keys ride through the state rather than a closure so one compiled
+    program serves every beta grid of the same length.
 
-    The per-chain beta must enter the sweep as a traced value, so the sweep
-    function is built with beta baked out and passed through.  On TPU the
-    fused Pallas stage kernels are used (beta rides the scalar-prefetch
-    channel, so one compiled kernel serves the whole grid).
+    Returns run with the chunk-runner signature; measurement rows are the
+    C chains' vectors flattened to [C * n_obs] (reshape on the host).
+    On TPU the fused Pallas stage kernels are vmapped across chains (the
+    batch axis becomes an extra grid dimension per kernel, with beta on
+    the scalar-prefetch channel).
     """
+    from ..runner import build_chunk_runner
     from ..sim import resolve_engine
 
+    n_obs = len(measure_obs_names(cfg))
     if resolve_engine(cfg) == "pallas":
-        return _make_pallas_ensemble_runner(cfg)
-    sweep = make_sweep_fn_beta(cfg)
-    measure_fn = make_measure_fn(cfg)
-    # ensemble rows carry the measurement vector only (no acc_rate column)
-    n_obs = len(measure_obs_names(cfg))
+        from ..ops.pallas import engine as peng
 
-    @partial(jax.jit, static_argnums=(4, 5))
-    def run(us, betas, keys, sweep0, n_sweeps, measure_every):
-        def one_chain(u, beta, key):
-            def sweeps_only(u, first, count):
-                return jax.lax.fori_loop(
-                    0, count, lambda i, u: sweep(u, key, first + i, beta), u
-                )
+        dims = tuple(cfg.dims)
+        chain_sweep = peng.make_pallas_sweep(cfg, interpret=interpret)
+        chain_pack = peng.split_links
+        chain_unpack = lambda s: peng.join_links(s, dims)
+        chain_measure = lambda s: peng.measure_all_split(
+            s, dims, interpret=interpret, cfg=cfg
+        )
+    else:
+        # sim.make_sweep_fn's sweep already accepts a traced beta override
+        chain_sweep = make_sweep_fn(cfg)
+        chain_pack = chain_unpack = lambda x: x
+        chain_measure = make_measure_fn(cfg)
 
-            if not measure_every:
-                u = sweeps_only(u, sweep0, n_sweeps)
-                return u, jnp.zeros((0, n_obs), jnp.float32)
+    def pack(state):
+        us, betas, keys = state
+        return jax.vmap(chain_pack)(us), betas, keys
 
-            n_blocks = n_sweeps // measure_every
-            rem = n_sweeps - n_blocks * measure_every
+    def unpack(st):
+        s, betas, keys = st
+        return jax.vmap(chain_unpack)(s), betas, keys
 
-            def block(u, b):
-                u = sweeps_only(u, sweep0 + b * measure_every, measure_every)
-                return u, measure_fn(u)
+    def sweep(st, _base_key, sweep_idx):
+        s, betas, keys = st
+        s = jax.vmap(
+            lambda s1, b, k: chain_sweep(s1, k, sweep_idx, beta=b)
+        )(s, betas, keys)
+        return s, betas, keys
 
-            u, obs = jax.lax.scan(block, u, jnp.arange(n_blocks))
-            if rem:
-                u = sweeps_only(u, sweep0 + n_blocks * measure_every, rem)
-            return u, obs
+    def measure_state(st):
+        return jax.vmap(chain_measure)(st[0]).reshape(-1)
 
-        return jax.vmap(one_chain)(us, betas, keys)
-
-    return run
-
-
-def make_sweep_fn_beta(cfg: SimConfig):
-    """sim.make_sweep_fn's sweep already accepts a traced beta override."""
-    return make_sweep_fn(cfg)
-
-
-def _make_pallas_ensemble_runner(cfg: SimConfig, interpret=False):
-    """Pallas ensemble runner: vmap over chains of the fused stage kernels
-    (the batch axis becomes an extra grid dimension per kernel)."""
-    from ..ops.pallas import engine as peng
-
-    sweep = peng.make_pallas_sweep(cfg, interpret=interpret)
-    dims = tuple(cfg.dims)
-    n_obs = len(measure_obs_names(cfg))
-
-    @partial(jax.jit, static_argnums=(4, 5))
-    def run(us, betas, keys, sweep0, n_sweeps, measure_every):
-        def one_chain(u, beta, key):
-            s = peng.split_links(u)
-
-            def sweeps_only(s, first, count):
-                return jax.lax.fori_loop(
-                    0, count, lambda i, s: sweep(s, key, first + i, beta), s
-                )
-
-            if not measure_every:
-                s = sweeps_only(s, sweep0, n_sweeps)
-                return (peng.join_links(s, dims),
-                        jnp.zeros((0, n_obs), jnp.float32))
-
-            n_blocks = n_sweeps // measure_every
-            rem = n_sweeps - n_blocks * measure_every
-
-            def block(s, b):
-                s = sweeps_only(s, sweep0 + b * measure_every, measure_every)
-                return s, peng.measure_all_split(s, dims, interpret=interpret,
-                                                 cfg=cfg)
-
-            s, obs = jax.lax.scan(block, s, jnp.arange(n_blocks))
-            if rem:
-                s = sweeps_only(s, sweep0 + n_blocks * measure_every, rem)
-            return peng.join_links(s, dims), obs
-
-        return jax.vmap(one_chain)(us, betas, keys)
-
-    return run
+    return build_chunk_runner(
+        cfg, sweep, measure_state, pack=pack, unpack=unpack,
+        n_obs=n_chains * n_obs,
+    )
 
 
 class BetaScan:
@@ -136,22 +100,55 @@ class BetaScan:
         else:
             u0 = cold_start(cfg)
             self.us = jnp.broadcast_to(u0, (c,) + u0.shape)
-        self._run = make_ensemble_runner(cfg)
+        self._n_obs = len(measure_obs_names(cfg))
+        self._run = make_ensemble_runner(cfg, c)
         self.sweep_idx = 0
+
+    # canonical [C, ...] links <-> resident engine-layout ensemble state
+    # (same lazy-materialization scheme as Simulation.u / Simulation._packed)
+    @property
+    def us(self):
+        if self._us is None:
+            self._us, self.betas, self.keys = self._run.unpack(self._st)
+        return self._us
+
+    @us.setter
+    def us(self, value):
+        self._us = value
+        self._st = None
+
+    @property
+    def _packed(self):
+        if self._st is None:
+            self._st = self._run.pack((self._us, self.betas, self.keys))
+        return self._st
+
+    def warmup(self):
+        """Compile the scan programs without advancing any chain."""
+        st = self._packed
+        self._run.packed(st, self.keys[0], self.sweep_idx, 1, 0)
+        self._run.packed(st, self.keys[0], self.sweep_idx, 1, 1)
+        return self
 
     def thermalize(self, n=None):
         n = self.cfg.sweeps_therm if n is None else n
-        self.us, _ = self._run(self.us, self.betas, self.keys, self.sweep_idx, n, 0)
+        st, _ = self._run.packed(
+            self._packed, self.keys[0], self.sweep_idx, n, 0
+        )
+        self._st, self._us = st, None
         self.sweep_idx += n
         return self
 
     def run(self, n=None, measure_every=1):
         n = self.cfg.sweeps if n is None else n
-        self.us, obs = self._run(
-            self.us, self.betas, self.keys, self.sweep_idx, n, measure_every
+        st, obs = self._run.packed(
+            self._packed, self.keys[0], self.sweep_idx, n, measure_every
         )
+        self._st, self._us = st, None
         self.sweep_idx += n
-        return np.asarray(obs)  # [C, n_meas, n_obs]
+        obs = np.asarray(obs)  # [n_meas, C * n_obs]
+        c = len(self.betas)
+        return obs.reshape(obs.shape[0], c, self._n_obs).transpose(1, 0, 2)
 
     # -- checkpoint (whole-ensemble state; same exactness guarantee as
     #    Simulation.save — counter RNG means (keys, sweep_idx) is the full

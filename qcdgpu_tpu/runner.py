@@ -36,7 +36,7 @@ MEAS_BLOCK_CHUNK = 64
 
 
 def build_chunk_runner(cfg, sweep, measure_state, pack=None, unpack=None,
-                       with_acc=False):
+                       with_acc=False, n_obs=None):
     """Build the chunk runner for one engine.
 
     sweep(state, key, sweep_idx) -> state'   (or (state', acc_rate) when
@@ -45,11 +45,13 @@ def build_chunk_runner(cfg, sweep, measure_state, pack=None, unpack=None,
     pack / unpack: canonical complex link field <-> engine state
         (identity by default; the Pallas engines use split/join here, so
         conversions happen once per compiled call, not per sweep).
+    n_obs: measurement-row width override (the ensemble runner flattens
+        [n_chains, n_obs] rows into the buffer).
     """
     identity_layout = pack is None
     pack = pack or (lambda u: u)
     unpack = unpack or (lambda s: s)
-    n_obs = len(obs_names(cfg))
+    n_obs = len(obs_names(cfg)) if n_obs is None else int(n_obs)
 
     def sweeps_carry(carry, key, first, count):
         def body(i, carry):
