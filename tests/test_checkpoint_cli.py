@@ -132,3 +132,25 @@ def test_cli_scan(tmp_path):
     assert len(rows) == 2
     # plaquette increases with beta — the scan orders correctly
     assert rows[1]["plq"] > rows[0]["plq"]
+
+
+def test_betascan_matches_single_chains():
+    """Each scan chain must reproduce a standalone Simulation bit-for-bit.
+
+    BetaScan chain i uses base key make_base_key(seed + 1000*i) and a
+    traced per-chain beta; a Simulation with seed + 1000*i and that beta
+    static runs the identical Markov chain, so the observable series must
+    agree to f32 rounding (same ops, different constant folding).
+    """
+    from qcdgpu_tpu.models.ensemble import BetaScan
+    from qcdgpu_tpu.sim import Simulation
+
+    betas = [1.8, 2.6]
+    cfg = SimConfig(group=2, dims=(4, 4, 4, 4), beta=0.0, sweeps_therm=0,
+                    sweeps=4, seed=21, reunit_every=2)
+    scan = BetaScan(cfg, betas)
+    obs = scan.run(4, measure_every=2)  # [2, 2, n_obs]
+    for i, b in enumerate(betas):
+        sim = Simulation(cfg.replace(beta=float(b), seed=cfg.seed + 1000 * i))
+        ref = sim.run(4, measure_every=2)
+        np.testing.assert_allclose(obs[i], ref, rtol=0, atol=2e-6)
