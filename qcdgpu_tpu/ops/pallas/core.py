@@ -362,17 +362,22 @@ def shift_mat_packed(m, lat_axis, d, p_dest, x, dims2):
     )
 
 
-def slab_site_index_packed(x, parity, dims):
-    """uint32 [Y, ZT2] of global DENSE site indices of the packed slots.
+def slab_site_index_packed(x, parity, dims, y0=0, local_y=0):
+    """uint32 [Y_loc, ZT2] of global DENSE site indices of the packed slots.
 
     Global index matches ops.lattice.site_index on the unpacked lattice, so
     threefry streams are identical between dense and packed engines.
+
+    y0/local_y: for Y-sharded kernels, rows span global y = y0 .. y0 +
+    local_y - 1 (defaults: the full unsharded Y extent) — so sharded and
+    unsharded chains draw identical per-site randomness.
     """
     _, y_dim, z_dim, t_dim = dims
     t2 = t_dim // 2
     zt2 = z_dim * t2
-    y = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt2), 0)
-    f = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt2), 1)
+    rows = local_y if local_y else y_dim
+    y = y0 + jax.lax.broadcasted_iota(jnp.int32, (rows, zt2), 0)
+    f = jax.lax.broadcasted_iota(jnp.int32, (rows, zt2), 1)
     z = f // t2
     k = f % t2
     tau = (parity + x + y + z) % 2  # t = 2k + tau

@@ -1,23 +1,26 @@
-"""Multi-chip Pallas engine: X-sharded sweeps with ppermute halo exchange.
+"""Multi-chip Pallas engine: X/Y-sharded sweeps with ppermute halo exchange.
 
-The lattice is domain-decomposed along X over the device mesh's "x" axis
-(cfg.mesh = (mx, 1, 1, 1)).  Inside a `jax.shard_map`, every stage first
-exchanges one-slab halos with both X-neighbors via `jax.lax.ppermute`
-(rides ICI), pads the local packed fields to local_x + 2 slabs, and runs
-the same fused stage kernel as the single-chip engine in its halo-padded
-variant (ops/pallas/update._stage_call with local_x > 0).  This is the
+The lattice is domain-decomposed along X and/or Y over the device mesh
+(cfg.mesh = (mx, my, 1, 1)).  Inside a `jax.shard_map`, every stage first
+exchanges one-deep halos with its neighbors via `jax.lax.ppermute` (rides
+ICI) — Y rows first, then X slabs *of the Y-padded fields*, so corner
+(x±1, y∓1) data arrives transitively — and runs the same fused stage
+kernel as the single-chip engine in its halo-padded variant
+(ops/pallas/update._stage_call with local_x / local_y > 0).  This is the
 TPU-native counterpart of QCDGPU's BIG_LATTICE multi-GPU slab
 decomposition with host-mediated boundary exchange (SURVEY.md §2
 "Multi-device decomposition") — except the halo moves chip-to-chip over
 the interconnect, overlapped by XLA with the kernel pipeline.
 
-Because the stage kernels key randomness and parity off GLOBAL slab
-indices (the x_offset scalar), the sharded chain consumes bit-identical
-randomness to the single-chip engine; link fields agree to f32
-rounding order.
+Because the stage kernels key randomness and parity off GLOBAL slab/row
+indices (the x_offset / y_offset scalars), the sharded chain consumes
+bit-identical randomness to the single-chip engine; link fields agree to
+f32 rounding order.
 
-General 4D meshes (Y/Z/T sharding) remain on the XLA engine, whose rolls
-XLA partitions into halo exchanges automatically (parallel/mesh.py).
+General Z/T sharding remains on the XLA engine, whose rolls XLA
+partitions into halo exchanges automatically (parallel/mesh.py): Z and T
+live on the packed lane axis, where halo slicing has no efficient
+Mosaic form.
 """
 
 from __future__ import annotations
@@ -36,29 +39,36 @@ from .reunit import reunitarize_dir
 NDIM = 4
 
 
-def _halo_pad(arr, mx):
-    """Pad a local [2, N, 2, local_x, Y, ZT2] field to local_x + 2 slabs.
+def _halo_pad(arr, m, axis_name, axis):
+    """Pad a local packed field with one-deep halos along ``axis``.
 
-    Slot 0 <- left neighbor's last slab; slot -1 <- right neighbor's first.
+    Slot 0 <- left neighbor's last slice; slot -1 <- right neighbor's
+    first.  m = mesh size of ``axis_name``.
     """
-    fwd = [(i, (i + 1) % mx) for i in range(mx)]   # data moves +x
-    bwd = [(i, (i - 1) % mx) for i in range(mx)]   # data moves -x
-    left = jax.lax.ppermute(arr[:, :, :, -1:], "x", fwd)
-    right = jax.lax.ppermute(arr[:, :, :, :1], "x", bwd)
-    return jnp.concatenate([left, arr, right], axis=3)
+    fwd = [(i, (i + 1) % m) for i in range(m)]   # data moves +axis
+    bwd = [(i, (i - 1) % m) for i in range(m)]   # data moves -axis
+    take_last = [slice(None)] * arr.ndim
+    take_last[axis] = slice(-1, None)
+    take_first = [slice(None)] * arr.ndim
+    take_first[axis] = slice(None, 1)
+    left = jax.lax.ppermute(arr[tuple(take_last)], axis_name, fwd)
+    right = jax.lax.ppermute(arr[tuple(take_first)], axis_name, bwd)
+    return jnp.concatenate([left, arr, right], axis=axis)
 
 
 def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
     """Sharded counterpart of engine.make_pallas_chunk_runner.
 
-    mesh: the 4-axis device mesh (only its "x" axis may exceed size 1).
+    mesh: the 4-axis device mesh; its "x" and/or "y" axes may exceed 1.
     """
     dims = tuple(cfg.dims)
     mx = mesh.shape["x"]
-    if any(mesh.shape[a] != 1 for a in ("y", "z", "t")):
-        raise ValueError("the Pallas engine shards along X only; use the "
-                         "XLA engine for general 4D meshes")
-    local_x = dims[0] // mx
+    my = mesh.shape["y"]
+    if any(mesh.shape[a] != 1 for a in ("z", "t")):
+        raise ValueError("the Pallas engine shards along X/Y only; use the "
+                         "XLA engine for Z/T-sharded meshes")
+    local_x = dims[0] // mx if mx > 1 else 0
+    local_y = dims[1] // my if my > 1 else 0
     kinds = [cfg.algorithm] + ["overrelax"] * cfg.n_or
     kw = dict(k_trials=int(cfg.kp_trials), n_hit=int(cfg.n_hit),
               metro_delta=float(cfg.metro_delta), rng_mode=cfg.rng_mode,
@@ -70,28 +80,39 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
         return pupdate._stage_call(
             n, dims, mu, parity, kind, kw["k_trials"], kw["n_hit"],
             kw["metro_delta"], kw["rng_mode"], kw["interpret"],
-            local_x=local_x,
+            local_x=local_x, local_y=local_y,
         )
 
     def sweep_local(us, base_key, sweep_idx, beta):
-        x_offset = jax.lax.axis_index("x").astype(jnp.uint32) * local_x
+        x_offset = (jax.lax.axis_index("x").astype(jnp.uint32) * local_x
+                    if local_x else None)
+        y_offset = (jax.lax.axis_index("y").astype(jnp.uint32) * local_y
+                    if local_y else None)
+
+        def pad(a):
+            if local_y:
+                a = _halo_pad(a, my, "y", 4)
+            if local_x:
+                a = _halo_pad(a, mx, "x", 3)
+            return a
+
         stage_id = 0
         for kind in kinds:
             for parity in (0, 1):
                 for mu in range(NDIM):
                     key2 = rng.stage_key(base_key, sweep_idx, stage_id)
-                    padded = tuple(_halo_pad(a, mx) for a in us)
+                    padded = tuple(pad(a) for a in us)
                     new = stage_apply(mu, parity, kind)(
-                        key2, beta, padded, x_offset
+                        key2, beta, padded, x_offset, y_offset
                     )
                     k = 2 * mu + parity
                     us = us[:k] + (new,) + us[k + 1:]
                     stage_id += 1
         if cfg.reunit_every > 0:
             def do_reunit(us):
-                # local projection, no halo needed; dims with local X so
+                # local projection, no halo needed; dims with local X/Y so
                 # the kernel's grid matches the shard extent
-                ldims = (local_x,) + dims[1:]
+                ldims = (local_x or dims[0], local_y or dims[1]) + dims[2:]
                 return tuple(
                     reunitarize_dir(s, ldims, interpret=interpret)
                     for s in us
@@ -102,7 +123,7 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
             )
         return us
 
-    spec8 = tuple(P(None, None, None, "x", None, None) for _ in range(8))
+    spec8 = tuple(P(None, None, None, "x", "y", None) for _ in range(8))
     sweep_sharded = jax.shard_map(
         sweep_local, mesh=mesh,
         in_specs=(spec8, P(None), P(), P()),

@@ -190,15 +190,30 @@ class _PlanCtx:
 
 
 class _LoadCtx:
-    """Resolves recipe reads against the kernel's slab refs."""
+    """Resolves recipe reads against the kernel's slab refs.
 
-    def __init__(self, p, n, slabs, refs, x, dims2):
+    Y-halo mode (local_y > 0, the Y-sharded multi-chip path): slab refs
+    carry local_y + 2 rows (row 0 / row local_y + 1 = neighbor halos from
+    ppermute).  Y shifts then become static row-window slices instead of
+    rolls, applied LAST — coordinate shifts commute, and each unit Y step
+    flips both the row parity and the alignment parity, so the Z/T shift
+    masks evaluated before the slice are bit-identical to the unsharded
+    roll order (global row parity enters via the x parameter: rows r of a
+    padded block sit at global y = y0 - 1 + r, and only the parity of
+    x + y matters to the masks).
+    """
+
+    def __init__(self, p, n, slabs, refs, x, dims2, local_y=0, y0=0):
         self.p = p
         self.n = n
         self.slabs = slabs
         self.refs = refs
         self.x = x
         self.dims2 = dims2
+        self.local_y = local_y
+        # parity-equivalent x for the shift masks: fold the global row
+        # offset of padded-block row 0 (y0 - 1) into x
+        self.xpar = x + (y0 - 1) if local_y else x
         self._cache = {}
 
     def _load(self, d, par, dx):
@@ -212,10 +227,27 @@ class _LoadCtx:
         par = (self.p + dx + len(shifts)) % 2
         m = self._load(d, par, dx)
         a = par
+        if not self.local_y:
+            for ax, dd in shifts:
+                a = (a + 1) % 2
+                m = core.shift_mat_packed(m, ax, dd, a, self.x + dx,
+                                          self.dims2)
+            return m
+        dy = 0
         for ax, dd in shifts:
-            a = (a + 1) % 2
-            m = core.shift_mat_packed(m, ax, dd, a, self.x + dx, self.dims2)
-        return m
+            if ax == 1:
+                dy += dd
+            else:
+                a = (a + 1) % 2
+                m = core.shift_mat_packed(m, ax, dd, a, self.xpar + dx,
+                                          self.dims2)
+        # the staple recipe never composes two Y steps in one read
+        assert -1 <= dy <= 1, dy
+        r0 = 1 + dy
+        return core.mmap(
+            lambda c: (c[0][r0:r0 + self.local_y], c[1][r0:r0 + self.local_y]),
+            m,
+        )
 
     def shifted(self, d, lat_axis, delta, extra=()):
         if lat_axis == 0:
@@ -287,16 +319,22 @@ def _uniforms_per_subgroup(kind, k_trials, n_hit):
 
 
 def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
-                  k_trials, n_hit, metro_delta, rng_mode, slabs):
-    # scalar-prefetch layout: [k0, k1, x_offset] — x_offset is the global
-    # index of this shard's first slab (0 when unsharded), so parities and
-    # threefry site keys are global and sharded chains are bit-identical.
-    # beta arrives as a (1, 1) SMEM scalar so one compiled kernel serves
-    # every coupling — the beta-scan/ensemble path passes a traced beta.
+                  k_trials, n_hit, metro_delta, rng_mode, slabs, local_y):
+    # scalar-prefetch layout: [k0, k1, x_offset, y_offset] — the global
+    # coordinates of this shard's first slab/row (0 when unsharded), so
+    # parities and threefry site keys are global and sharded chains are
+    # bit-identical.  beta arrives as a (1, 1) SMEM scalar so one compiled
+    # kernel serves every coupling — the beta-scan/ensemble path passes a
+    # traced beta.
     o_ref = refs[-1]
     x = pl.program_id(0) + key_ref[2].astype(jnp.int32)
-    dims2 = (dims[0], dims[1], dims[2], dims[3] // 2)
-    ctx = _LoadCtx(parity, n, slabs, refs[:-1], x, dims2)
+    y0 = key_ref[3].astype(jnp.int32)
+    # dims2's Y entry is the ROW COUNT of the loaded blocks (padded by the
+    # two Y-halo rows in Y-sharded mode) — it shapes the shift masks
+    y_rows = local_y + 2 if local_y else dims[1]
+    dims2 = (dims[0], y_rows, dims[2], dims[3] // 2)
+    ctx = _LoadCtx(parity, n, slabs, refs[:-1], x, dims2,
+                   local_y=local_y, y0=y0)
     beta = beta_ref[0, 0]
 
     u_mu, w = _staple_W(ctx, mu)
@@ -305,15 +343,19 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
     sgs = _subgroups(n)
     per = _uniforms_per_subgroup(kind, k_trials, n_hit)
     per_slots = (per + 1) // 2
-    shape = (dims2[1], dims2[2] * dims2[3])
+    shape = (local_y if local_y else dims[1], dims[2] * (dims[3] // 2))
     if per and rng_mode == "hw":
         xu = x.astype(jnp.uint32) if hasattr(x, "astype") else jnp.uint32(x)
+        yu = key_ref[3]
         pltpu.prng_seed(
-            key_ref[0] ^ (xu * jnp.uint32(0x9E3779B9)), key_ref[1] + xu
+            key_ref[0] ^ (xu * jnp.uint32(0x9E3779B9))
+            ^ (yu * jnp.uint32(0x85EBCA6B)),
+            key_ref[1] + xu + yu,
         )
         u_all = core.hw_uniforms(2 * per_slots * len(sgs), shape)
     elif per:
-        sidx = core.slab_site_index_packed(x, parity, dims)
+        sidx = core.slab_site_index_packed(x, parity, dims, y0=y0,
+                                           local_y=local_y)
         u_all = core.slab_uniforms(
             key_ref[0], key_ref[1], sidx, 2 * per_slots * len(sgs)
         )
@@ -341,7 +383,7 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
 
 @lru_cache(maxsize=None)
 def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
-                metro_delta, rng_mode, interpret, local_x=0):
+                metro_delta, rng_mode, interpret, local_x=0, local_y=0):
     """Build the jit-able pallas_call for one (mu, parity, kind) stage.
 
     local_x == 0: single-device kernel over the full X extent (X±1 halos
@@ -349,24 +391,29 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
     ``local_x`` slabs whose inputs are halo-PADDED to local_x + 2 along X
     (slot 0 = left halo slab, slot local_x + 1 = right halo slab) — the
     multi-chip path (ops/pallas/sharded.py) fills the pads via ppermute.
+    local_y > 0 analogously: inputs carry local_y + 2 rows along Y
+    (row 0 / row local_y + 1 = Y-neighbor halos) and Y shifts are row
+    slices inside the kernel (see _LoadCtx); composable with local_x.
     """
     X = dims[0]
     Y, ZT2 = dims[1], dims[2] * (dims[3] // 2)
     slabs = stage_slabs(mu, parity, n)
-    block = (2, n, 2, 1, Y, ZT2)
+    in_y = local_y + 2 if local_y else Y
+    out_y = local_y if local_y else Y
+    in_block = (2, n, 2, 1, in_y, ZT2)
+    out_block = (2, n, 2, 1, out_y, ZT2)
     grid_x = local_x if local_x else X
-    in_x = local_x + 2 if local_x else X
 
     def mk_spec(dx):
         # NB: with num_scalar_prefetch=1 the scalar ref is appended to the
         # index_map arguments.
         if local_x:
             return pl.BlockSpec(
-                block, lambda i, _kref, dx=dx: (0, 0, 0, i + dx + 1, 0, 0),
+                in_block, lambda i, _kref, dx=dx: (0, 0, 0, i + dx + 1, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
-            block, lambda i, _kref, dx=dx: (0, 0, 0, (i + dx) % X, 0, 0),
+            in_block, lambda i, _kref, dx=dx: (0, 0, 0, (i + dx) % X, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -378,19 +425,19 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
         grid=(grid_x,),
         in_specs=[beta_spec] + [mk_spec(dx) for (_, _, dx) in slabs],
         out_specs=pl.BlockSpec(
-            block, lambda i, _kref: (0, 0, 0, i, 0, 0),
+            out_block, lambda i, _kref: (0, 0, 0, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     kern = partial(
         _stage_kernel, mu=mu, parity=parity, kind=kind, n=n, dims=dims,
         k_trials=k_trials, n_hit=n_hit, metro_delta=metro_delta,
-        rng_mode=rng_mode, slabs=slabs,
+        rng_mode=rng_mode, slabs=slabs, local_y=local_y,
     )
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, n, 2, grid_x, Y, ZT2),
+        out_shape=jax.ShapeDtypeStruct((2, n, 2, grid_x, out_y, ZT2),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -398,12 +445,12 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
         interpret=bool(interpret),
     )
 
-    def apply(key2, beta, us, x_offset=None):
+    def apply(key2, beta, us, x_offset=None, y_offset=None):
         beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
-        off = jnp.zeros((1,), jnp.uint32) if x_offset is None else (
-            jnp.asarray(x_offset, jnp.uint32).reshape(1)
-        )
-        scal = jnp.concatenate([key2, off])
+        def off(v):
+            return (jnp.zeros((1,), jnp.uint32) if v is None
+                    else jnp.asarray(v, jnp.uint32).reshape(1))
+        scal = jnp.concatenate([key2, off(x_offset), off(y_offset)])
         args = [us[2 * d + par] for (d, par, _) in slabs]
         return call(scal, beta_arr, *args)
 

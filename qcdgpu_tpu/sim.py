@@ -165,12 +165,13 @@ def resolve_engine(cfg: SimConfig) -> str:
     on_tpu = plat in ("tpu", "axon")
     n_mesh = int(np.prod(cfg.mesh))
     if n_mesh != 1:
-        # multi-device: the fused X-sharded Pallas engine when the mesh is
-        # an X-only slab split on TPU (ops/pallas/sharded.py); otherwise the
-        # XLA engine, whose SPMD partitioner turns rolls into halo exchanges
-        # for arbitrary 4D meshes.
-        x_only = cfg.mesh[0] > 1 and all(m == 1 for m in cfg.mesh[1:])
-        if on_tpu and x_only and len(devs) >= n_mesh:
+        # multi-device: the fused X/Y-sharded Pallas engine when the mesh
+        # splits only the X and/or Y axes on TPU (ops/pallas/sharded.py);
+        # otherwise the XLA engine, whose SPMD partitioner turns rolls into
+        # halo exchanges for arbitrary 4D meshes (Z/T live on the packed
+        # lane axis, where Mosaic halo slicing has no efficient form).
+        xy_only = cfg.mesh[2] == 1 and cfg.mesh[3] == 1
+        if on_tpu and xy_only and len(devs) >= n_mesh:
             return "pallas"
         return "xla"
     return "pallas" if on_tpu else "xla"

@@ -63,7 +63,7 @@ def test_sharded_stage_matches_xla(setup, parity, mu):
 
     def local(us_l):
         off = jax.lax.axis_index("x").astype(jnp.uint32) * LOCAL_X
-        padded = tuple(_halo_pad(a, MX) for a in us_l)
+        padded = tuple(_halo_pad(a, MX, "x", 3) for a in us_l)
         ap = pupd._stage_call(3, DIMS, mu, parity, "heatbath", 4, 3, 0.35,
                               "threefry", True, local_x=LOCAL_X)
         return ap(key2, cfg.beta, padded, off)
@@ -85,3 +85,70 @@ def test_sharded_stage_matches_xla(setup, parity, mu):
 # stage tests above cover the halo mechanism (the only sharding-specific
 # logic); the runner plumbing is shared with engine.make_pallas_chunk_runner,
 # which tests/test_pallas.py covers.
+
+
+# ---------------------------------------------------------------------------
+# Y- and XY-sharded stage kernels (the 2D fused multi-chip path)
+# ---------------------------------------------------------------------------
+
+MY = 2
+LOCAL_Y = DIMS[1] // MY
+
+
+@pytest.mark.parametrize("parity,mu", [(0, 1), (1, 1), (0, 3), (1, 0)])
+def test_y_sharded_stage_matches_xla(setup, parity, mu):
+    cfg, key, u0, us, us_sh, _ = setup
+    key2 = rng.stage_key(key, 0, 5)
+    ref = _xla_stage(cfg, u0, key2, parity, mu)
+    mesh = make_mesh((1, MY, 1, 1))
+    spec = P(None, None, None, None, "y", None)
+    us_y = tuple(jax.device_put(a, NamedSharding(mesh, spec)) for a in us)
+
+    def local(us_l):
+        yoff = jax.lax.axis_index("y").astype(jnp.uint32) * LOCAL_Y
+        padded = tuple(_halo_pad(a, MY, "y", 4) for a in us_l)
+        ap = pupd._stage_call(3, DIMS, mu, parity, "heatbath", 4, 3, 0.35,
+                              "threefry", True, local_y=LOCAL_Y)
+        return ap(key2, cfg.beta, padded, None, yoff)
+
+    spec8 = tuple(spec for _ in range(8))
+    f = jax.shard_map(local, mesh=mesh, in_specs=(spec8,),
+                      out_specs=spec8[0], check_vma=False)
+    new = f(us_y)
+    k = 2 * mu + parity
+    us2 = us[:k] + (new,) + us[k + 1:]
+    got = peng.join_dir((us2[2 * mu], us2[2 * mu + 1]), DIMS, 3)
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-5
+
+
+@pytest.mark.parametrize("parity,mu", [(0, 0), (1, 1), (0, 2), (1, 3)])
+def test_xy_sharded_stage_matches_xla(setup, parity, mu):
+    """2D decomposition: corner (x+-1, y-+1) staples must arrive via the
+    transitive Y-then-X halo padding."""
+    cfg, key, u0, us, us_sh, _ = setup
+    key2 = rng.stage_key(key, 0, 7)
+    ref = _xla_stage(cfg, u0, key2, parity, mu)
+    mx2 = 2
+    lx2 = DIMS[0] // mx2
+    mesh = make_mesh((mx2, MY, 1, 1))
+    spec = P(None, None, None, "x", "y", None)
+    us_xy = tuple(jax.device_put(a, NamedSharding(mesh, spec)) for a in us)
+
+    def local(us_l):
+        xoff = jax.lax.axis_index("x").astype(jnp.uint32) * lx2
+        yoff = jax.lax.axis_index("y").astype(jnp.uint32) * LOCAL_Y
+        padded = tuple(
+            _halo_pad(_halo_pad(a, MY, "y", 4), mx2, "x", 3) for a in us_l
+        )
+        ap = pupd._stage_call(3, DIMS, mu, parity, "heatbath", 4, 3, 0.35,
+                              "threefry", True, local_x=lx2, local_y=LOCAL_Y)
+        return ap(key2, cfg.beta, padded, xoff, yoff)
+
+    spec8 = tuple(spec for _ in range(8))
+    f = jax.shard_map(local, mesh=mesh, in_specs=(spec8,),
+                      out_specs=spec8[0], check_vma=False)
+    new = f(us_xy)
+    k = 2 * mu + parity
+    us2 = us[:k] + (new,) + us[k + 1:]
+    got = peng.join_dir((us2[2 * mu], us2[2 * mu + 1]), DIMS, 3)
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-5
