@@ -115,6 +115,12 @@ def mmap(f, a):
     return tuple(tuple(f(c) for c in row) for row in a)
 
 
+def mmap2(f, a, b):
+    return tuple(
+        tuple(f(ca, cb) for ca, cb in zip(ra, rb)) for ra, rb in zip(a, b)
+    )
+
+
 # ---------------------------------------------------------------------------
 # lattice shifts on [Y, ZT] slabs (lattice axes: 1=Y, 2=Z, 3=T)
 # ---------------------------------------------------------------------------

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ...config import SimConfig
 from .. import rng
-from ..measure import cfg_fmunu_indices, fmunu_means, polyakov_from_ut
+from ..measure import cfg_fmunu_indices, fmunu_means
 from . import measure as pmeasure
 from . import update as pupdate
 from .reunit import reunitarize_dir
@@ -156,10 +156,11 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False):
 
 def measure_all_split(us, dims, interpret=False, cfg=None):
     """Same observable vector as ops.measure.make_measure_fn, from packed
-    state.  The standard 6 come from the fused Pallas plaquette reduction;
-    the optional Fmunu extension (cfg.get_fmunu) reconstructs the complex
-    field once per measurement and reuses the XLA path (measurements are
-    infrequent relative to sweeps, so the join cost is noise)."""
+    state.  The standard 6 come from fused Pallas reductions (plaquette
+    plane sums + in-lane Polyakov product — no layout conversion); the
+    optional Fmunu extension (cfg.get_fmunu) reconstructs the complex
+    field once per measurement and reuses the XLA path (it is an opt-in
+    extra, so the join cost is accepted there)."""
     n = us[0].shape[1]
     vol = dims[0] * dims[1] * dims[2] * dims[3]
     sums = pmeasure.plane_sums(us, dims, interpret=interpret) / (n * vol)
@@ -167,8 +168,9 @@ def measure_all_split(us, dims, interpret=False, cfg=None):
     plq_s = (sums[0] + sums[1] + sums[3]) / 3.0
     plq_t = (sums[2] + sums[4] + sums[5]) / 3.0
     plq = 0.5 * (plq_s + plq_t)
-    ut = join_dir((us[6], us[7]), dims, n)
-    pre, pim = polyakov_from_ut(ut)
+    sre, sim = pmeasure.polyakov_sums(us, dims, interpret=interpret)
+    n_spatial = n * (vol // dims[3])
+    pre, pim = sre / n_spatial, sim / n_spatial
     action = 1.0 - plq
     base = jnp.stack([
         jnp.float32(plq), jnp.float32(plq_s), jnp.float32(plq_t),

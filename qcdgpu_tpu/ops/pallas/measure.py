@@ -4,9 +4,9 @@ Plaquette / Wilson-action sums as fused kernels over the link field — the
 TPU counterpart of QCDGPU's workgroup tree-reduction measurement kernels
 (kernel/su*_measurements_cl.cl; SURVEY.md §2 "Measurement kernels").  One
 kernel per base-site parity (the packed layout stores parities separately);
-the caller adds the two.  The Polyakov loop keeps the XLA log-depth
-pairwise product (ops.measure.polyakov_from_ut): it runs on the rare
-measurement path and its T-axis product does not fit the slab stencil.
+the caller adds the two.  The Polyakov loop is likewise computed on the
+packed state (polyakov_sums below): an in-lane log-depth ordered product —
+no layout conversion, no lane relayout.
 
 Output: per-plane Re tr P sums in SMEM, accumulated across the X grid.
 Plane order: (0,1), (0,2), (0,3), (1,2), (1,3), (2,3).
@@ -104,3 +104,104 @@ def plane_sums(us, dims, interpret=False):
     s0 = _plq_call(n, tuple(dims), 0, bool(interpret))(us)
     s1 = _plq_call(n, tuple(dims), 1, bool(interpret))(us)
     return (s0 + s1)[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Polyakov loop on packed state (no layout conversion)
+# ---------------------------------------------------------------------------
+#
+# The XLA path (join_dir + tree product over the minor T axis) costs ~7 ms
+# per measurement at SU(3) 32^4 — complex-field materialization plus lane
+# relayouts, since T sits on the lane axis at width 32 (4x padding).  Here
+# the ordered product prod_t U_t(x,y,z,t) is computed directly on the
+# packed parity arrays:
+#
+#   level 0: slot k of a (x,y,z) column holds t = 2k + tau_p; pairing the
+#            two parity arrays elementwise (operand order selected by the
+#            column parity sigma = (x+y+z) % 2) gives
+#            V_k = U_{2k} U_{2k+1};
+#   level j: V'_m = V_m @ roll(V, -2^{j-1} lanes)_m = V_m V_{m+2^{j-1}} —
+#            valid on slots m = k 2^j; other slots compute garbage that is
+#            never consumed (full-width vector ops are free anyway), and
+#            no read in the valid chain crosses a z block.
+#
+# log2(T/2) + 1 matmul levels of full-width elementwise FMAs, zero
+# relayout, zero HBM round trips: ~0.2 ms.  The loop matrix of column
+# (x,y,z) lands in its slot-0 lane; a masked trace reduction accumulates
+# sum_re/sum_im over the grid into SMEM.
+
+
+def _poly_kernel(ref0, ref1, o_ref, *, n, dims):
+    x = pl.program_id(0)
+    t2 = dims[3] // 2
+    zt2 = dims[2] * t2
+    a0 = core.load_mat_packed(ref0, n)
+    a1 = core.load_mat_packed(ref1, n)
+
+    y = jax.lax.broadcasted_iota(jnp.int32, (dims[1], zt2), 0)
+    f = jax.lax.broadcasted_iota(jnp.int32, (dims[1], zt2), 1)
+    z = f // t2
+    sig_even = ((x + y + z) % 2) == 0
+
+    def sel(ma, mb):
+        return core.mmap2(lambda ca, cb: (
+            jnp.where(sig_even, ca[0], cb[0]),
+            jnp.where(sig_even, ca[1], cb[1]),
+        ), ma, mb)
+
+    first = sel(a0, a1)   # U at t = 2k
+    second = sel(a1, a0)  # U at t = 2k + 1
+    v = core.mmul(first, second)
+
+    ell = 1
+    while ell < t2:
+        w = core.mmap(
+            lambda c: (pltpu.roll(c[0], (-ell) % zt2, axis=1),
+                       pltpu.roll(c[1], (-ell) % zt2, axis=1)),
+            v,
+        )
+        v = core.mmul(v, w)
+        ell *= 2
+
+    @pl.when(x == 0)
+    def _():
+        o_ref[0, 0] = 0.0
+        o_ref[1, 0] = 0.0
+
+    slot0 = (f % t2) == 0
+    tr_re = v[0][0][0]
+    tr_im = v[0][0][1]
+    for i in range(1, n):
+        tr_re = tr_re + v[i][i][0]
+        tr_im = tr_im + v[i][i][1]
+    zero = jnp.float32(0.0)
+    o_ref[0, 0] += jnp.sum(jnp.where(slot0, tr_re, zero))
+    o_ref[1, 0] += jnp.sum(jnp.where(slot0, tr_im, zero))
+
+
+@lru_cache(maxsize=None)
+def _poly_call(n, dims, interpret):
+    X = dims[0]
+    Y, ZT2 = dims[1], dims[2] * (dims[3] // 2)
+    block = (2, n, 2, 1, Y, ZT2)
+    spec = pl.BlockSpec(block, lambda i: (0, 0, 0, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_poly_kernel, n=n, dims=dims),
+        grid=(X,),
+        in_specs=[spec, spec],
+        out_specs=pl.BlockSpec((2, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((2, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=bool(interpret),
+    )
+
+
+def polyakov_sums(us, dims, interpret=False):
+    """(sum_re, sum_im) of tr prod_t U_t over all spatial sites (packed)."""
+    n = us[0].shape[1]
+    out = _poly_call(n, tuple(dims), bool(interpret))(us[6], us[7])
+    return out[0, 0], out[1, 0]

@@ -162,3 +162,14 @@ def test_chunk_runner_matches_xla(u0):
     # final links stay on the group (unitarity) even if pointwise divergent
     defect = max(float(sun.unitarity_defect(up[m])) for m in range(4))
     assert defect < 1e-5
+
+
+def test_polyakov_kernel(u0, us):
+    """In-lane Polyakov product vs the XLA tree on the complex field."""
+    from qcdgpu_tpu.ops.measure import polyakov_from_ut
+
+    sre, sim_ = pmeas.polyakov_sums(us, DIMS, interpret=True)
+    n_spatial = 3 * (DIMS[0] * DIMS[1] * DIMS[2])
+    ref_re, ref_im = polyakov_from_ut(u0[3])
+    assert abs(float(sre) / n_spatial - float(ref_re)) < 2e-6
+    assert abs(float(sim_) / n_spatial - float(ref_im)) < 2e-6
