@@ -9,6 +9,7 @@ over a jax.sharding.Mesh.  See SURVEY.md for the reference analysis.
 """
 
 from .config import SimConfig
+from .models.ensemble import BetaScan
 from .sim import Simulation, cold_start, hot_start, make_chunk_runner, make_sweep_fn
 
 __version__ = "0.1.0"
@@ -16,6 +17,7 @@ __version__ = "0.1.0"
 __all__ = [
     "SimConfig",
     "Simulation",
+    "BetaScan",
     "cold_start",
     "hot_start",
     "make_sweep_fn",

@@ -153,15 +153,34 @@ def _poly_kernel(ref0, ref1, o_ref, *, n, dims):
     second = sel(a1, a0)  # U at t = 2k + 1
     v = core.mmul(first, second)
 
-    ell = 1
-    while ell < t2:
-        w = core.mmap(
-            lambda c: (pltpu.roll(c[0], (-ell) % zt2, axis=1),
-                       pltpu.roll(c[1], (-ell) % zt2, axis=1)),
-            v,
+    def lane_roll(m, amount):
+        if amount == 0:
+            return m
+        return core.mmap(
+            lambda c: (pltpu.roll(c[0], (-amount) % zt2, axis=1),
+                       pltpu.roll(c[1], (-amount) % zt2, axis=1)),
+            m,
         )
-        v = core.mmul(v, w)
-        ell *= 2
+
+    # Ordered product of the t2 pair-slots for ARBITRARY t2 (Nt = 6 gives
+    # t2 = 3): binary chunks combined left to right.  lad[j] holds, at
+    # slot m, the product of slots [m, m + 2^j) — valid wherever the span
+    # stays inside the z block, which every read below satisfies
+    # (pos + 2^j <= t2 <= lane block).  Plain power-of-two doubling alone
+    # is wrong for non-power-of-two t2: its slot-0 chain reads past the
+    # column's slots into the neighboring z block.
+    lad = [v]
+    while (1 << len(lad)) <= t2:
+        half = 1 << (len(lad) - 1)
+        lad.append(core.mmul(lad[-1], lane_roll(lad[-1], half)))
+    acc = None
+    pos = 0
+    for j in range(len(lad) - 1, -1, -1):
+        if t2 & (1 << j):
+            term = lane_roll(lad[j], pos)
+            acc = term if acc is None else core.mmul(acc, term)
+            pos += 1 << j
+    v = acc
 
     @pl.when(x == 0)
     def _():

@@ -173,3 +173,20 @@ def test_polyakov_kernel(u0, us):
     ref_re, ref_im = polyakov_from_ut(u0[3])
     assert abs(float(sre) / n_spatial - float(ref_re)) < 2e-6
     assert abs(float(sim_) / n_spatial - float(ref_im)) < 2e-6
+
+
+@pytest.mark.parametrize("t_ext", [2, 6, 10, 8])
+def test_polyakov_kernel_any_t(t_ext):
+    """Non-power-of-two T/2 (e.g. the Nt=6 deconfinement lattice): the
+    binary-chunk ordered product must match the XLA tree."""
+    from qcdgpu_tpu.ops.measure import polyakov_from_ut
+
+    dims = (4, 4, 2, t_ext)
+    cfg = _cfg(dims=dims)
+    u = hot_start(cfg, rng.make_base_key(7)).astype(jnp.complex64)
+    us = peng.split_links(u)
+    sre, sim_ = pmeas.polyakov_sums(us, dims, interpret=True)
+    n_spatial = 3 * (dims[0] * dims[1] * dims[2])
+    ref_re, ref_im = polyakov_from_ut(u[3])
+    assert abs(float(sre) / n_spatial - float(ref_re)) < 2e-6
+    assert abs(float(sim_) / n_spatial - float(ref_im)) < 2e-6
