@@ -171,7 +171,9 @@ def cmd_run(args):
     if cfg.sweeps:
         with_meas = 1e3 * timings["production_s"] / cfg.sweeps
         timings["ms_per_sweep_with_meas"] = round(with_meas, 3)
-        if cfg.sweeps_therm and cfg.meas_every:
+        # only meaningful without periodic checkpoint saves, whose host
+        # I/O would otherwise be attributed to measurement
+        if cfg.sweeps_therm and cfg.meas_every and not cfg.ckpt_every:
             timings["ms_per_measurement"] = round(
                 (with_meas - timings["ms_per_sweep"]) * cfg.meas_every, 3
             )
@@ -201,29 +203,28 @@ def cmd_scan(args):
     from .utils import report
     from .utils.stats import analyze_series
 
-    if getattr(args, "resume_state", None):
-        scan = BetaScan.load(args.resume_state)
+    resume_state = getattr(args, "resume_state", None)
+    if resume_state:
+        scan = BetaScan.load(resume_state)
         cfg = scan.cfg
         betas = [float(b) for b in np.asarray(scan.betas)]
-        t0 = time.time()
-        scan.warmup()
-        timings = {"compile_s": round(time.time() - t0, 3)}
-        t0 = time.time()
-        obs = scan.run(args.sweeps)
-        timings["total_s"] = round(time.time() - t0, 3)
     else:
         cfg = _build_config(args)
         if not args.betas:
             raise SystemExit("scan requires --betas (or --resume-state)")
         betas = _parse_betas(args.betas)
         scan = BetaScan(cfg, betas)
-        t0 = time.time()
-        scan.warmup()
-        timings = {"compile_s": round(time.time() - t0, 3)}
-        t0 = time.time()
+    t0 = time.time()
+    scan.warmup()
+    timings = {"compile_s": round(time.time() - t0, 3)}
+    t0 = time.time()
+    if resume_state:
+        obs = scan.run(args.sweeps)
+    else:
         scan.thermalize()
         obs = scan.run()  # [C, n_meas, n_obs]
-        timings["total_s"] = round(time.time() - t0, 3)
+    scan.sync()
+    timings["total_s"] = round(time.time() - t0, 3)
     os.makedirs(args.out, exist_ok=True)
     scan.save(os.path.join(args.out, "scan_state.npz"))
     from .ops.measure import measure_obs_names

@@ -90,6 +90,7 @@ class BetaScan:
 
     def __init__(self, cfg: SimConfig, betas):
         self.cfg = cfg
+        self._sync_jit = None
         self.betas = jnp.asarray(np.asarray(betas, np.float32))
         c = len(betas)
         keys = [rng.make_base_key(cfg.seed + 1000 * i) for i in range(c)]
@@ -123,11 +124,28 @@ class BetaScan:
             self._st = self._run.pack((self._us, self.betas, self.keys))
         return self._st
 
-    def warmup(self):
-        """Compile the scan programs without advancing any chain."""
+    def sync(self) -> float:
+        """Tunnel-safe device barrier (see Simulation.sync)."""
+        if self._sync_jit is None:
+            self._sync_jit = jax.jit(
+                lambda s: sum(
+                    jnp.sum(jnp.real(x)).astype(jnp.float32)
+                    for x in jax.tree_util.tree_leaves(s)
+                )
+            )
+        st = self._st if self._st is not None else self._us
+        return float(jax.device_get(self._sync_jit(st)))
+
+    def warmup(self, measure_every=1):
+        """Compile and first-execute the scan programs without advancing
+        any chain (results discarded; see Simulation.warmup for why a real
+        execution, not a zero-trip compile, is required)."""
         st = self._packed
         self._run.packed(st, self.keys[0], self.sweep_idx, 1, 0)
-        self._run.packed(st, self.keys[0], self.sweep_idx, 1, 1)
+        self._run.packed(
+            st, self.keys[0], self.sweep_idx, measure_every, measure_every
+        )
+        self.sync()
         return self
 
     def thermalize(self, n=None):

@@ -52,6 +52,11 @@ def build_chunk_runner(cfg, sweep, measure_state, pack=None, unpack=None,
     pack = pack or (lambda u: u)
     unpack = unpack or (lambda s: s)
     n_obs = len(obs_names(cfg)) if n_obs is None else int(n_obs)
+    # capture at build time: run_meas freezes the row-buffer size at first
+    # trace, so reading the module global again at call time could hand
+    # run_packed a LARGER block count than the cached buffer holds
+    # (dynamic_update_slice would clamp and silently corrupt the series)
+    meas_chunk = MEAS_BLOCK_CHUNK
 
     def sweeps_carry(carry, key, first, count):
         def body(i, carry):
@@ -71,7 +76,7 @@ def build_chunk_runner(cfg, sweep, measure_state, pack=None, unpack=None,
 
     @partial(jax.jit, static_argnums=(4,))
     def run_meas(st, key, sweep0, n_blocks, me):
-        buf = jnp.zeros((MEAS_BLOCK_CHUNK, n_obs), jnp.float32)
+        buf = jnp.zeros((meas_chunk, n_obs), jnp.float32)
 
         def blk(b, carry):
             st, buf = carry
@@ -100,7 +105,7 @@ def build_chunk_runner(cfg, sweep, measure_state, pack=None, unpack=None,
         s0 = sweep0
         left = n_blocks
         while left > 0:
-            nb = min(left, MEAS_BLOCK_CHUNK)
+            nb = min(left, meas_chunk)
             st, buf = run_meas(st, base_key, s0, nb, me)
             rows.append(buf[:nb])
             left -= nb

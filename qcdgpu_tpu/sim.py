@@ -276,13 +276,15 @@ class Simulation:
         return float(jax.device_get(self._sync_jit(st)))
 
     def warmup(self):
-        """Compile every program thermalize()/run() will use, without
-        advancing the chain: state is functional, so running the chunk
-        runner on the current links and discarding the result has no side
-        effects.  Afterwards, wall-clock timings measure pure execution —
-        the role QCDGPU's on-disk binary cache + cl_event times played
-        (compile time never contaminated its reported kernel times).
-        """
+        """Compile AND first-execute every program thermalize()/run() will
+        use, without advancing the chain: state is functional, so running
+        the chunk runner on the current links and discarding the result
+        has no side effects.  Executing (not just compiling — one sweep
+        plus one measured block) matters: the first execution of a program
+        carries one-time device/transfer overheads that would otherwise
+        contaminate the first timed phase.  Afterwards, wall-clock timings
+        measure steady-state execution — the role QCDGPU's on-disk binary
+        cache + cl_event times played."""
         me = self.cfg.meas_every
         st = self._packed
         self._run.packed(st, self.base_key, self.sweep_idx, 1, 0)

@@ -54,7 +54,9 @@ def test_unit_circle():
 
 
 def test_f64_fallback():
+    import pytest
+
     x = jnp.asarray(np.linspace(0.01, 0.99, 101), jnp.float64)
-    if x.dtype != jnp.float64:  # x64 disabled in this process
-        return
+    if x.dtype != jnp.float64:
+        pytest.skip("jax x64 disabled in this process")
     np.testing.assert_allclose(np.asarray(fm.log_u01(x)), np.log(np.asarray(x)))
