@@ -7,7 +7,8 @@ report.  Subcommands:
 
   run     one Markov chain (thermalize + production + analysis + report)
   resume  continue a chain bit-exactly from a checkpoint
-  scan    beta scan: an ensemble of chains, one per beta (vmapped)
+  scan    beta scan: an ensemble of chains, one per beta (vmapped;
+          --chain-mesh shards chains over devices)
   info    device/backend report
 
 Example:
@@ -203,9 +204,33 @@ def cmd_scan(args):
     from .utils import report
     from .utils.stats import analyze_series
 
+    def resolve_chain_mesh(requested, cfg, n_chains):
+        """0 = auto: every device when the grid divides evenly (chain
+        sharding is bit-identical to the vmap path, so auto is safe)."""
+        import jax
+
+        if requested:
+            return int(requested)
+        nd = len(jax.devices())
+        if nd > 1 and int(np.prod(cfg.mesh)) == 1 and n_chains % nd == 0:
+            return nd
+        return 1
+
     resume_state = getattr(args, "resume_state", None)
+    chain_mesh = getattr(args, "chain_mesh", 0)
     if resume_state:
-        scan = BetaScan.load(resume_state)
+        from .config import SimConfig
+
+        # peek at the checkpoint header to size the chain mesh
+        with np.load(resume_state, allow_pickle=False) as z:
+            n_chains = int(z["betas"].shape[0])
+            peek_cfg = SimConfig.from_dict(
+                json.loads(bytes(z["config_json"]).decode())
+            )
+        scan = BetaScan.load(
+            resume_state,
+            chain_mesh=resolve_chain_mesh(chain_mesh, peek_cfg, n_chains),
+        )
         cfg = scan.cfg
         betas = [float(b) for b in np.asarray(scan.betas)]
     else:
@@ -213,7 +238,10 @@ def cmd_scan(args):
         if not args.betas:
             raise SystemExit("scan requires --betas (or --resume-state)")
         betas = _parse_betas(args.betas)
-        scan = BetaScan(cfg, betas)
+        scan = BetaScan(
+            cfg, betas,
+            chain_mesh=resolve_chain_mesh(chain_mesh, cfg, len(betas)),
+        )
     t0 = time.time()
     scan.warmup()
     timings = {"compile_s": round(time.time() - t0, 3)}
@@ -366,6 +394,10 @@ def main(argv=None):
                    help="lo:hi:n or comma list, e.g. 5.6:6.1:11")
     p.add_argument("--resume-state", dest="resume_state", default=None,
                    help="continue a scan from its scan_state.npz")
+    p.add_argument("--chain-mesh", dest="chain_mesh", type=int, default=0,
+                   help="shard the chain axis over this many devices "
+                        "(replica parallelism; 0 = auto: all devices when "
+                        "the beta grid divides evenly, 1 = off)")
     p.set_defaults(fn=cmd_scan)
 
     p = sub.add_parser("info", help="device/backend info")

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from ..config import SimConfig
 from ..ops import rng
@@ -21,7 +22,8 @@ from ..ops.measure import make_measure_fn, measure_obs_names
 from ..sim import cold_start, hot_start, make_sweep_fn
 
 
-def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False):
+def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
+                         chain_mesh=None):
     """Runner over C = n_chains chains with per-chain beta.
 
     Built on the shared chunk runner (qcdgpu_tpu/runner.py) so the
@@ -36,9 +38,30 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False):
     On TPU the fused Pallas stage kernels are vmapped across chains (the
     batch axis becomes an extra grid dimension per kernel, with beta on
     the scalar-prefetch channel).
+
+    chain_mesh: optional 1-axis ("c") jax.sharding.Mesh
+    (parallel.mesh.make_chain_mesh).  The chain axis is then domain-
+    decomposed over devices via shard_map — the replica-parallel (DP
+    analogue) axis of SURVEY.md §2: chains are independent Markov chains,
+    so the sharded program contains no collectives and is bit-identical
+    to the unsharded one chain-for-chain.  Requires n_chains % mesh
+    size == 0 and an unsharded lattice (cfg.mesh all ones).
     """
     from ..runner import build_chunk_runner
     from ..sim import resolve_engine
+
+    if chain_mesh is not None:
+        nshards = chain_mesh.shape["c"]
+        if n_chains % nshards:
+            raise ValueError(
+                f"n_chains={n_chains} must divide evenly over the "
+                f"{nshards}-device chain mesh"
+            )
+        if int(np.prod(cfg.mesh)) != 1:
+            raise ValueError(
+                "chain sharding composes with an unsharded lattice only "
+                "(cfg.mesh must be all ones)"
+            )
 
     n_obs = len(measure_obs_names(cfg))
     if resolve_engine(cfg) == "pallas":
@@ -59,21 +82,56 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False):
 
     def pack(state):
         us, betas, keys = state
-        return jax.vmap(chain_pack)(us), betas, keys
+        st = jax.vmap(chain_pack)(us), betas, keys
+        if chain_mesh is not None:
+            # pre-shard the packed state so each device holds only its
+            # block of chains (and the first chunk call needs no reshard)
+            from jax.sharding import NamedSharding
+
+            st = jax.lax.with_sharding_constraint(
+                st,
+                jax.tree.map(
+                    lambda _: NamedSharding(chain_mesh, P("c")), st
+                ),
+            )
+        return st
 
     def unpack(st):
         s, betas, keys = st
         return jax.vmap(chain_unpack)(s), betas, keys
 
-    def sweep(st, _base_key, sweep_idx):
+    def sweep_chains(st, _base_key, sweep_idx):
         s, betas, keys = st
         s = jax.vmap(
             lambda s1, b, k: chain_sweep(s1, k, sweep_idx, beta=b)
         )(s, betas, keys)
         return s, betas, keys
 
-    def measure_state(st):
+    def measure_chains(st):
         return jax.vmap(chain_measure)(st[0]).reshape(-1)
+
+    if chain_mesh is None:
+        sweep, measure_state = sweep_chains, measure_chains
+    else:
+        # blocks of chains per device; inside each shard the body is the
+        # plain vmapped per-chain program (any engine), so the Pallas
+        # kernels never see the mesh.  Measurement rows come out chain-
+        # major ([c_local * n_obs] per shard, concatenated along "c"),
+        # matching the unsharded flattening exactly.
+        def sweep(st, base_key, sweep_idx):
+            specs = jax.tree.map(lambda _: P("c"), st)
+            return jax.shard_map(
+                sweep_chains, mesh=chain_mesh,
+                in_specs=(specs, P(None), P()), out_specs=specs,
+                check_vma=False,
+            )(st, base_key, sweep_idx)
+
+        def measure_state(st):
+            specs = jax.tree.map(lambda _: P("c"), st)
+            return jax.shard_map(
+                measure_chains, mesh=chain_mesh,
+                in_specs=(specs,), out_specs=P("c"), check_vma=False,
+            )(st)
 
     return build_chunk_runner(
         cfg, sweep, measure_state, pack=pack, unpack=unpack,
@@ -88,7 +146,11 @@ class BetaScan:
     transition (BASELINE config 3: 24^3 x 6 across a beta grid).
     """
 
-    def __init__(self, cfg: SimConfig, betas):
+    def __init__(self, cfg: SimConfig, betas, chain_mesh: int = 1):
+        """chain_mesh: shard the chain axis over this many devices
+        (replica parallelism; 1 = single-device vmap).  A runtime
+        execution choice like cfg.engine — not persisted in checkpoints;
+        pass it to load() again when resuming on a multi-chip host."""
         self.cfg = cfg
         self._sync_jit = None
         self.betas = jnp.asarray(np.asarray(betas, np.float32))
@@ -102,7 +164,13 @@ class BetaScan:
             u0 = cold_start(cfg)
             self.us = jnp.broadcast_to(u0, (c,) + u0.shape)
         self._n_obs = len(measure_obs_names(cfg))
-        self._run = make_ensemble_runner(cfg, c)
+        self.chain_mesh = int(chain_mesh) if chain_mesh else 1
+        cmesh = None
+        if self.chain_mesh > 1:
+            from ..parallel.mesh import make_chain_mesh
+
+            cmesh = make_chain_mesh(self.chain_mesh)
+        self._run = make_ensemble_runner(cfg, c, chain_mesh=cmesh)
         self.sweep_idx = 0
 
     # canonical [C, ...] links <-> resident engine-layout ensemble state
@@ -190,7 +258,7 @@ class BetaScan:
         )
 
     @classmethod
-    def load(cls, path: str) -> "BetaScan":
+    def load(cls, path: str, chain_mesh: int = 1) -> "BetaScan":
         import json
 
         import jax.numpy as jnp
@@ -212,7 +280,7 @@ class BetaScan:
                       else jnp.complex64)
             us = links_from_host(z["us_ri"], cdtype)
             sweep_idx = int(z["sweep_idx"])
-        scan = cls(cfg, betas)
+        scan = cls(cfg, betas, chain_mesh=chain_mesh)
         scan.keys = keys
         scan.us = us
         scan.sweep_idx = sweep_idx

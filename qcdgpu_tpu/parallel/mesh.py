@@ -65,6 +65,20 @@ def mesh_for_config(cfg: SimConfig, devices=None) -> Optional[Mesh]:
     return make_mesh(cfg.mesh, devices)
 
 
+def make_chain_mesh(n: int, devices=None) -> Mesh:
+    """1D mesh over the ensemble (replica) axis "c".
+
+    The ensemble is QCDGPU's one-chain-per-process replica parallelism
+    recast as a mesh axis (SURVEY.md §2 "Ensemble / replica parallelism"):
+    chains are independent, so sharding the leading chain axis needs no
+    collectives at all — each device advances its block of chains.
+    """
+    devices = jax.devices() if devices is None else list(devices)
+    if n < 1 or n > len(devices):
+        raise ValueError(f"chain mesh needs 1..{len(devices)} devices, got {n}")
+    return Mesh(np.array(devices[:n]), ("c",))
+
+
 def default_mesh_shape(n_devices: int) -> Tuple[int, int, int, int]:
     """Factor n_devices over (T, Z, Y, X) greedily — T first, then Z, Y, X.
 
