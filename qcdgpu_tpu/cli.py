@@ -204,33 +204,10 @@ def cmd_scan(args):
     from .utils import report
     from .utils.stats import analyze_series
 
-    def resolve_chain_mesh(requested, cfg, n_chains):
-        """0 = auto: every device when the grid divides evenly (chain
-        sharding is bit-identical to the vmap path, so auto is safe)."""
-        import jax
-
-        if requested:
-            return int(requested)
-        nd = len(jax.devices())
-        if nd > 1 and int(np.prod(cfg.mesh)) == 1 and n_chains % nd == 0:
-            return nd
-        return 1
-
     resume_state = getattr(args, "resume_state", None)
-    chain_mesh = getattr(args, "chain_mesh", 0)
+    chain_mesh = getattr(args, "chain_mesh", 0)  # 0 = auto (BetaScan)
     if resume_state:
-        from .config import SimConfig
-
-        # peek at the checkpoint header to size the chain mesh
-        with np.load(resume_state, allow_pickle=False) as z:
-            n_chains = int(z["betas"].shape[0])
-            peek_cfg = SimConfig.from_dict(
-                json.loads(bytes(z["config_json"]).decode())
-            )
-        scan = BetaScan.load(
-            resume_state,
-            chain_mesh=resolve_chain_mesh(chain_mesh, peek_cfg, n_chains),
-        )
+        scan = BetaScan.load(resume_state, chain_mesh=chain_mesh)
         cfg = scan.cfg
         betas = [float(b) for b in np.asarray(scan.betas)]
     else:
@@ -238,10 +215,7 @@ def cmd_scan(args):
         if not args.betas:
             raise SystemExit("scan requires --betas (or --resume-state)")
         betas = _parse_betas(args.betas)
-        scan = BetaScan(
-            cfg, betas,
-            chain_mesh=resolve_chain_mesh(chain_mesh, cfg, len(betas)),
-        )
+        scan = BetaScan(cfg, betas, chain_mesh=chain_mesh)
     t0 = time.time()
     scan.warmup()
     timings = {"compile_s": round(time.time() - t0, 3)}

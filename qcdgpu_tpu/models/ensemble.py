@@ -57,7 +57,9 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
                 f"n_chains={n_chains} must divide evenly over the "
                 f"{nshards}-device chain mesh"
             )
-        if int(np.prod(cfg.mesh)) != 1:
+        from ..parallel.mesh import is_lattice_sharded
+
+        if is_lattice_sharded(cfg):
             raise ValueError(
                 "chain sharding composes with an unsharded lattice only "
                 "(cfg.mesh must be all ones)"
@@ -146,25 +148,31 @@ class BetaScan:
     transition (BASELINE config 3: 24^3 x 6 across a beta grid).
     """
 
-    def __init__(self, cfg: SimConfig, betas, chain_mesh: int = 1):
+    def __init__(self, cfg: SimConfig, betas, chain_mesh: int = 1,
+                 _defer_start: bool = False):
         """chain_mesh: shard the chain axis over this many devices
-        (replica parallelism; 1 = single-device vmap).  A runtime
-        execution choice like cfg.engine — not persisted in checkpoints;
-        pass it to load() again when resuming on a multi-chip host."""
+        (replica parallelism; 1 = single-device vmap, 0 = auto: the
+        largest chain count divisor that fits the attached devices).  A
+        runtime execution choice like cfg.engine — not persisted in
+        checkpoints; pass it to load() again when resuming on a
+        multi-chip host.  _defer_start: internal (load()) — skip start-
+        state generation because the caller will assign .us directly."""
         self.cfg = cfg
         self._sync_jit = None
         self.betas = jnp.asarray(np.asarray(betas, np.float32))
         c = len(betas)
         keys = [rng.make_base_key(cfg.seed + 1000 * i) for i in range(c)]
         self.keys = jnp.stack(keys)
-        if cfg.start == "hot":
+        if _defer_start:
+            self.us = None  # caller assigns the checkpointed field
+        elif cfg.start == "hot":
             us = [hot_start(cfg, self.keys[i]) for i in range(c)]
             self.us = jnp.stack(us)
         else:
             u0 = cold_start(cfg)
             self.us = jnp.broadcast_to(u0, (c,) + u0.shape)
         self._n_obs = len(measure_obs_names(cfg))
-        self.chain_mesh = int(chain_mesh) if chain_mesh else 1
+        self.chain_mesh = self._resolve_chain_mesh(chain_mesh, cfg, c)
         cmesh = None
         if self.chain_mesh > 1:
             from ..parallel.mesh import make_chain_mesh
@@ -172,6 +180,23 @@ class BetaScan:
             cmesh = make_chain_mesh(self.chain_mesh)
         self._run = make_ensemble_runner(cfg, c, chain_mesh=cmesh)
         self.sweep_idx = 0
+
+    @staticmethod
+    def _resolve_chain_mesh(requested, cfg, n_chains) -> int:
+        """0 = auto: widest replica sharding available (chain sharding is
+        bit-identical to the vmap path, so auto is safe).  Picks the
+        largest divisor of n_chains that fits the device count, so e.g. a
+        4-beta scan on 8 chips still runs 4 wide."""
+        if requested:
+            return int(requested)
+        from ..parallel.mesh import is_lattice_sharded
+
+        nd = len(jax.devices())
+        if nd > 1 and not is_lattice_sharded(cfg):
+            for d in range(min(nd, n_chains), 0, -1):
+                if n_chains % d == 0:
+                    return d
+        return 1
 
     # canonical [C, ...] links <-> resident engine-layout ensemble state
     # (same lazy-materialization scheme as Simulation.u / Simulation._packed)
@@ -204,10 +229,12 @@ class BetaScan:
         st = self._st if self._st is not None else self._us
         return float(jax.device_get(self._sync_jit(st)))
 
-    def warmup(self, measure_every=1):
+    def warmup(self, measure_every=None):
         """Compile and first-execute the scan programs without advancing
         any chain (results discarded; see Simulation.warmup for why a real
         execution, not a zero-trip compile, is required)."""
+        if measure_every is None:
+            measure_every = self.cfg.meas_every
         st = self._packed
         self._run.packed(st, self.keys[0], self.sweep_idx, 1, 0)
         self._run.packed(
@@ -225,8 +252,10 @@ class BetaScan:
         self.sweep_idx += n
         return self
 
-    def run(self, n=None, measure_every=1):
+    def run(self, n=None, measure_every=None):
         n = self.cfg.sweeps if n is None else n
+        if measure_every is None:  # mirror Simulation.run: cfg.meas_every
+            measure_every = self.cfg.meas_every
         st, obs = self._run.packed(
             self._packed, self.keys[0], self.sweep_idx, n, measure_every
         )
@@ -269,8 +298,12 @@ class BetaScan:
         with np.load(path, allow_pickle=False) as z:
             if int(z["version"]) != FORMAT_VERSION:
                 raise ValueError(f"unsupported version {int(z['version'])}")
-            if bytes(z["kind"]) != b"betascan":
-                raise ValueError("not a BetaScan checkpoint")
+            kind = bytes(z["kind"]) if "kind" in z.files else b"simulation"
+            if kind != b"betascan":
+                raise ValueError(
+                    f"not a BetaScan checkpoint (kind={kind.decode()!r}; "
+                    "use `resume` for single-chain Simulation states)"
+                )
             cfg = SimConfig.from_dict(
                 json.loads(bytes(z["config_json"]).decode())
             )
@@ -280,7 +313,7 @@ class BetaScan:
                       else jnp.complex64)
             us = links_from_host(z["us_ri"], cdtype)
             sweep_idx = int(z["sweep_idx"])
-        scan = cls(cfg, betas, chain_mesh=chain_mesh)
+        scan = cls(cfg, betas, chain_mesh=chain_mesh, _defer_start=True)
         scan.keys = keys
         scan.us = us
         scan.sweep_idx = sweep_idx

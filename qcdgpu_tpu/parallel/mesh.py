@@ -58,9 +58,16 @@ def shard_links(u, mesh: Mesh):
     return jax.device_put(u, link_sharding(mesh))
 
 
+def is_lattice_sharded(cfg: SimConfig) -> bool:
+    """True when cfg.mesh decomposes the lattice over >1 device (the single
+    predicate shared by mesh construction, engine selection, and the
+    chain-sharding validation — keep them agreeing)."""
+    return int(np.prod(cfg.mesh)) != 1
+
+
 def mesh_for_config(cfg: SimConfig, devices=None) -> Optional[Mesh]:
     """Mesh from cfg.mesh, or None when the run is single-device."""
-    if int(np.prod(cfg.mesh)) == 1:
+    if not is_lattice_sharded(cfg):
         return None
     return make_mesh(cfg.mesh, devices)
 

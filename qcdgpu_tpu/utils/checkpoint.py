@@ -68,6 +68,12 @@ def load_state(path):
         version = int(z["version"])
         if version != FORMAT_VERSION:
             raise ValueError(f"unsupported checkpoint version {version}")
+        if "kind" in z.files and bytes(z["kind"]) != b"simulation":
+            raise ValueError(
+                f"not a Simulation checkpoint "
+                f"(kind={bytes(z['kind']).decode()!r}; use `scan "
+                "--resume-state` for BetaScan states)"
+            )
         cfg = SimConfig.from_dict(json.loads(bytes(z["config_json"]).decode()))
         cdtype = jnp.complex128 if cfg.dtype == "complex128" else jnp.complex64
         u = links_from_host(z["links_ri"], cdtype)

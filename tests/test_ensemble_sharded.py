@@ -59,6 +59,19 @@ def test_chain_sharded_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(obs_a, obs_b)
 
 
+def test_chain_mesh_auto_resolution():
+    cfg = SimConfig(**CFG)
+    # 4 chains on 8 devices: largest divisor that fits = 4 (not 1, not 8)
+    assert BetaScan._resolve_chain_mesh(0, cfg, 4) == 4
+    assert BetaScan._resolve_chain_mesh(0, cfg, 8) == 8
+    assert BetaScan._resolve_chain_mesh(0, cfg, 12) == 6
+    assert BetaScan._resolve_chain_mesh(0, cfg, 7) == 7
+    assert BetaScan._resolve_chain_mesh(2, cfg, 4) == 2  # explicit wins
+    # sharded lattice: chain sharding stays off in auto mode
+    sh = SimConfig(**{**CFG, "dims": (8, 4, 4, 4), "mesh": (2, 1, 1, 1)})
+    assert BetaScan._resolve_chain_mesh(0, sh, 4) == 1
+
+
 def test_chain_mesh_validation():
     with pytest.raises(ValueError, match="divide evenly"):
         from qcdgpu_tpu.parallel.mesh import make_chain_mesh
