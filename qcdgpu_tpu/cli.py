@@ -379,7 +379,7 @@ def main(argv=None):
 
     p = sub.add_parser("validate", help="physics acceptance suite "
                        "(BASELINE configs vs literature)")
-    p.add_argument("--configs", default="1,2,3,4,5",
+    p.add_argument("--configs", default="1,2,3,4,5,6",
                    help="comma list of BASELINE config numbers")
     p.add_argument("--quick", action="store_true",
                    help="reduced lattices/sweeps (minutes instead of hours)")

@@ -163,13 +163,16 @@ class BetaScan:
         c = len(betas)
         keys = [rng.make_base_key(cfg.seed + 1000 * i) for i in range(c)]
         self.keys = jnp.stack(keys)
+        # start states under jit (vmapped over chains): eager constructor
+        # chains are UNIMPLEMENTED on some TPU runtimes (see Simulation)
+        from functools import partial
+
         if _defer_start:
             self.us = None  # caller assigns the checkpointed field
         elif cfg.start == "hot":
-            us = [hot_start(cfg, self.keys[i]) for i in range(c)]
-            self.us = jnp.stack(us)
+            self.us = jax.jit(jax.vmap(partial(hot_start, cfg)))(self.keys)
         else:
-            u0 = cold_start(cfg)
+            u0 = jax.jit(partial(cold_start, cfg))()
             self.us = jnp.broadcast_to(u0, (c,) + u0.shape)
         self._n_obs = len(measure_obs_names(cfg))
         self.chain_mesh = self._resolve_chain_mesh(chain_mesh, cfg, c)

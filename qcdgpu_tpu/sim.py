@@ -16,6 +16,7 @@ entire direction field.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -225,12 +226,16 @@ class Simulation:
         self._us = None      # engine-layout state (lazy)
         self.sweep_idx = 0
         self.obs_history: list[np.ndarray] = []
+        # start states are built under jit: eager op-by-op dispatch of the
+        # constructor chains is UNIMPLEMENTED on some TPU runtimes (the
+        # axon tunnel rejects eager host-scalar transfers mid-chain) and
+        # is one compiled program instead of dozens of dispatches anyway
         if init_u is not None:
             self.u = init_u
         elif cfg.start == "hot":
-            self.u = hot_start(cfg, self.base_key)
+            self.u = jax.jit(partial(hot_start, cfg))(self.base_key)
         else:  # "cold" (and "continue" callers pass init_u or use load())
-            self.u = cold_start(cfg)
+            self.u = jax.jit(partial(cold_start, cfg))()
 
     # -- state layouts ----------------------------------------------------
     # The engine-layout state stays device-resident across chunk calls;

@@ -165,16 +165,70 @@ def check_multichip(quick=False):
     }
 
 
+def check_engines(quick=False):
+    """XLA vs Pallas engine on the real chip, identical threefry streams.
+
+    The hardware twin of tests/test_pallas.py's interpret-mode engine
+    equivalence: with rng_mode="threefry" both engines must sample the
+    same chain up to f32 rounding order.  On hardware the XLA and Mosaic
+    compilers contract FMAs differently, so rounding noise amplified
+    through 2 sweeps x (8+8) dependent stages reaches ~1e-3 in the worst
+    link (measured 1.2e-3; observables stay ~4e-6) — the thresholds sit
+    an order above that, while a genuinely flipped Monte Carlo decision
+    flips whole SU(3) matrices (O(1)) and still fails loudly.  Catches
+    real-TPU Mosaic miscompiles that CPU interpret mode cannot.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.devices()[0].platform != "tpu":
+        return {
+            "name": "engine cross-validation (XLA vs Pallas, threefry)",
+            "skipped": "needs a TPU (interpret-mode twin runs in "
+                       "tests/test_pallas.py)",
+            "pass": None,
+        }
+    from .ops import rng as jrng
+    from .sim import hot_start, make_chunk_runner
+
+    cfg = SimConfig(
+        group=3, dims=(8, 8, 8, 8), beta=6.0, n_or=1, rng_mode="threefry",
+        reunit_every=0, seed=21, start="hot",
+    )
+    from functools import partial
+
+    key = jrng.make_base_key(cfg.seed)
+    u0 = jax.jit(partial(hot_start, cfg))(key)  # eager is UNIMPLEMENTED on axon
+    outs = {}
+    for engine in ("xla", "pallas"):
+        run = make_chunk_runner(cfg.replace(engine=engine))
+        outs[engine] = run(u0, key, 0, 2, 2)
+    du = jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(
+        outs["xla"][0], outs["pallas"][0]
+    )
+    dlinks = float(jax.device_get(du))
+    dobs = float(np.max(np.abs(
+        np.asarray(outs["xla"][1]) - np.asarray(outs["pallas"][1])
+    )))
+    return {
+        "name": "engine cross-validation (XLA vs Pallas, threefry, 2 sweeps)",
+        "measured": {"max_dlinks": dlinks, "max_dobs": dobs},
+        "expected": "max |dlinks| < 1e-2 and max |dobs| < 1e-4",
+        "pass": bool(dlinks < 1e-2 and dobs < 1e-4),
+    }
+
+
 CHECKS = {
     1: check_su2,
     2: check_su3,
     3: check_deconfinement,
     4: check_rng,
     5: check_multichip,
+    6: check_engines,
 }
 
 
-def run_validation(configs=(1, 2, 3, 4, 5), quick=False, out_path=None):
+def run_validation(configs=(1, 2, 3, 4, 5, 6), quick=False, out_path=None):
     results = []
     for c in configs:
         t0 = time.time()

@@ -19,4 +19,11 @@ def test_rng_check_and_report(tmp_path):
 
 
 def test_checks_registry_complete():
-    assert set(CHECKS) == {1, 2, 3, 4, 5}
+    assert set(CHECKS) == {1, 2, 3, 4, 5, 6}
+
+
+def test_engine_cross_check_skips_off_tpu():
+    # conftest forces the CPU backend, so the hardware-only engine
+    # cross-validation must report a skip, not a failure
+    r = CHECKS[6](quick=True)
+    assert r["pass"] is None and "TPU" in r["skipped"]
