@@ -184,14 +184,23 @@ def cmd_run(args):
 
 
 def cmd_resume(args):
+    from .parallel.mesh import mesh_for_config, shard_links
     from .sim import Simulation
 
     sim = Simulation.load(args.checkpoint)
+    # re-apply the domain decomposition (device placement is not part of
+    # the checkpoint): without this a resumed multi-chip XLA run would
+    # compile a single-device program
+    mesh = mesh_for_config(sim.cfg)
+    if mesh is not None:
+        sim.u = shard_links(sim.u, mesh)
     t0 = time.time()
     sim.warmup()
     timings = {"compile_s": round(time.time() - t0, 3)}
     t0 = time.time()
-    sim.run(args.sweeps)
+    os.makedirs(args.out, exist_ok=True)
+    # keep periodic checkpointing alive across resumes (cfg.ckpt_every)
+    sim.run(args.sweeps, ckpt_path=os.path.join(args.out, "state.npz"))
     sim.sync()
     timings["production_s"] = round(time.time() - t0, 3)
     _finish_run(sim, args, timings)

@@ -77,6 +77,8 @@ class SimConfig:
             raise ValueError("group must be 2 or 3")
         if len(self.dims) != 4:
             raise ValueError("dims must be a 4-tuple (X, Y, Z, T)")
+        if len(self.mesh) != 4:
+            raise ValueError("mesh must be a 4-tuple over (X, Y, Z, T)")
         if self.algorithm not in ("heatbath", "metropolis"):
             raise ValueError(f"unknown algorithm {self.algorithm!r}")
         if self.start not in ("cold", "hot", "continue"):
@@ -111,6 +113,15 @@ class SimConfig:
             )
         if self.engine == "pallas" and self.dtype != "complex64":
             raise ValueError("the pallas engine is float32 (complex64) only")
+        if self.engine == "pallas" and self.meas_dtype == "double":
+            raise ValueError(
+                "meas_dtype='double' is an XLA-engine feature (engine='xla' "
+                "or 'auto', which resolves to the XLA engine for it)"
+            )
+        if not 0 <= self.n_or <= 7:
+            # 8 * (1 + n_or) update/OR stages per sweep must fit the
+            # 64-stage RNG key namespace shared by both engines
+            raise ValueError("n_or must be in 0..7")
         for d, m in zip(self.dims, self.mesh):
             if d % (2 * m) != 0:
                 raise ValueError(

@@ -47,22 +47,23 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
     to the unsharded one chain-for-chain.  Requires n_chains % mesh
     size == 0 and an unsharded lattice (cfg.mesh all ones).
     """
+    from ..parallel.mesh import is_lattice_sharded
     from ..runner import build_chunk_runner
     from ..sim import resolve_engine
 
+    if is_lattice_sharded(cfg):
+        # the per-chain sweep here is the single-device program (plain
+        # vmap over chains); a lattice mesh would be silently dropped
+        raise ValueError(
+            "the ensemble runs unsharded lattices only (cfg.mesh must be "
+            "all ones); parallelize a scan over devices with chain_mesh"
+        )
     if chain_mesh is not None:
         nshards = chain_mesh.shape["c"]
         if n_chains % nshards:
             raise ValueError(
                 f"n_chains={n_chains} must divide evenly over the "
                 f"{nshards}-device chain mesh"
-            )
-        from ..parallel.mesh import is_lattice_sharded
-
-        if is_lattice_sharded(cfg):
-            raise ValueError(
-                "chain sharding composes with an unsharded lattice only "
-                "(cfg.mesh must be all ones)"
             )
 
     n_obs = len(measure_obs_names(cfg))

@@ -54,21 +54,6 @@ def conj(a):
 # ---------------------------------------------------------------------------
 
 
-def load_mat(ref, n):
-    """Read an [N, N, 2, 1, Y, ZT]-block ref into a matrix tuple."""
-    return tuple(
-        tuple((ref[i, j, 0, 0], ref[i, j, 1, 0]) for j in range(n))
-        for i in range(n)
-    )
-
-
-def store_mat(ref, m, n):
-    for i in range(n):
-        for j in range(n):
-            ref[i, j, 0, 0] = m[i][j][0]
-            ref[i, j, 1, 0] = m[i][j][1]
-
-
 def mmul(a, b):
     """Matrix product of two nested-tuple matrices."""
     n, kk, m = len(a), len(b), len(b[0])
@@ -119,74 +104,6 @@ def mmap2(f, a, b):
     return tuple(
         tuple(f(ca, cb) for ca, cb in zip(ra, rb)) for ra, rb in zip(a, b)
     )
-
-
-# ---------------------------------------------------------------------------
-# lattice shifts on [Y, ZT] slabs (lattice axes: 1=Y, 2=Z, 3=T)
-# ---------------------------------------------------------------------------
-
-
-def shift_comp(v, lat_axis, d, dims):
-    """f'(x) = f(x + d * axis_hat) for one [Y, ZT] component (periodic).
-
-    Matches qcdgpu_tpu.ops.lattice.shift (= np.roll by -d) for the in-block
-    axes; X shifts (lat_axis 0) are block-level and handled by index maps.
-    """
-    _, y_dim, z_dim, t_dim = dims
-    zt = z_dim * t_dim
-    if lat_axis == 1:
-        return pltpu.roll(v, (-d) % y_dim, axis=0)
-    if lat_axis == 2:
-        return pltpu.roll(v, ((-d) * t_dim) % zt, axis=1)
-    if lat_axis == 3:
-        # T is the inner factor of the flattened ZT axis: a global lane roll
-        # is correct except on the wrapping T-boundary rows, which must wrap
-        # within their own Z block.
-        t_ids = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1) % t_dim
-        main = pltpu.roll(v, (-d) % zt, axis=1)
-        if d == 1:
-            fix = pltpu.roll(v, (t_dim - 1) % zt, axis=1)
-            return jnp.where(t_ids == t_dim - 1, fix, main)
-        elif d == -1:
-            fix = pltpu.roll(v, (1 - t_dim) % zt, axis=1)
-            return jnp.where(t_ids == 0, fix, main)
-        raise ValueError("|d| must be 1 for T shifts")
-    raise ValueError(f"in-block shift on lattice axis {lat_axis}")
-
-
-def shift_mat(m, lat_axis, d, dims):
-    return mmap(lambda c: (shift_comp(c[0], lat_axis, d, dims),
-                           shift_comp(c[1], lat_axis, d, dims)), m)
-
-
-# ---------------------------------------------------------------------------
-# site indices / parity for one x-slab
-# ---------------------------------------------------------------------------
-
-
-def slab_site_index(x, dims):
-    """uint32 [Y, ZT] of global row-major site indices for x-slice ``x``.
-
-    Bit-compatible with qcdgpu_tpu.ops.lattice.site_index under the
-    (Y, Z*T) flattening (row-major means the flattening is index-exact).
-    """
-    _, y_dim, z_dim, t_dim = dims
-    zt = z_dim * t_dim
-    y = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt), 0)
-    f = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt), 1)
-    idx = (x * y_dim + y) * zt + f
-    return idx.astype(_U32)
-
-
-def slab_parity(x, dims):
-    """int32 [Y, ZT]: (x + y + z + t) % 2 for x-slice ``x``."""
-    _, y_dim, z_dim, t_dim = dims
-    zt = z_dim * t_dim
-    y = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt), 0)
-    f = jax.lax.broadcasted_iota(jnp.int32, (y_dim, zt), 1)
-    z = f // t_dim
-    t = f % t_dim
-    return (x + y + z + t) % 2
 
 
 # ---------------------------------------------------------------------------

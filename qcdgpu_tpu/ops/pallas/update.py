@@ -82,7 +82,6 @@ def subgroup_left_mul(q, i, j, m):
 # subgroup samplers (tuple ports of ops.samplers — same math, same RNG order)
 # ---------------------------------------------------------------------------
 
-TWO_PI = 6.2831853071795864769
 
 
 def _identity_quat(shape):

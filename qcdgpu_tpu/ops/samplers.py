@@ -34,8 +34,6 @@ import jax.numpy as jnp
 from . import fastmath as fm
 from . import rng, sun
 
-TWO_PI = np.float32(2.0 * np.pi)
-
 
 def kp_trial_quat(a, utr, udir, eps=1e-10):
     """Kennedy–Pendleton sample of w in SU(2) with P(w) ~ exp(a * w0) dw.

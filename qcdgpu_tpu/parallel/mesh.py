@@ -91,17 +91,16 @@ def default_mesh_shape(n_devices: int) -> Tuple[int, int, int, int]:
 
     The time axis is usually the largest and the Polyakov product along T is
     measured rarely, so T-major decomposition keeps the halo surface small.
+    Each axis takes powers of two up to 8 before spilling to the next, so
+    large device counts get a multi-axis torus instead of one huge slab
+    axis; any non-power-of-two remainder (and overflow past all caps)
+    rides on T.
     """
     shape = [1, 1, 1, 1]
     rem = n_devices
     for ax in (3, 2, 1, 0):
-        while rem % 2 == 0:
+        while rem % 2 == 0 and shape[ax] < 8:
             shape[ax] *= 2
             rem //= 2
-            if shape[ax] >= 8 and ax != 3:
-                break
-        if rem == 1:
-            break
-    if rem != 1:
-        shape[3] *= rem  # non-power-of-two remainder onto T
+    shape[3] *= rem
     return tuple(shape)

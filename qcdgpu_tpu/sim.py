@@ -158,6 +158,10 @@ def resolve_engine(cfg: SimConfig) -> str:
     if cfg.track_acceptance:
         # acceptance accumulation is an XLA-engine feature
         return "xla"
+    if getattr(cfg, "meas_dtype", "same") == "double":
+        # double-precision measurement sums (QCDGPU's PRECISION=mixed)
+        # are evaluated by make_measure_fn on the XLA path only
+        return "xla"
     try:
         devs = jax.devices()
         plat = devs[0].platform
@@ -222,6 +226,7 @@ class Simulation:
         self._run = make_chunk_runner(cfg)
         self._measure_jit = jax.jit(make_measure_fn(cfg))
         self._sync_jit = None
+        self._defect_jit = None
         self._u = None       # canonical complex link field (lazy)
         self._us = None      # engine-layout state (lazy)
         self.sweep_idx = 0
@@ -352,7 +357,15 @@ class Simulation:
         return obs_names(self.cfg)
 
     def unitarity_defect(self) -> float:
-        return float(max(float(sun.unitarity_defect(self.u[m])) for m in range(NDIM)))
+        # one jitted reduction: eager op chains are slow per-op round
+        # trips on a tunneled TPU and UNIMPLEMENTED on axon (CLAUDE.md)
+        if self._defect_jit is None:
+            self._defect_jit = jax.jit(
+                lambda u: jnp.max(
+                    jnp.stack([sun.unitarity_defect(u[m]) for m in range(NDIM)])
+                ).astype(jnp.float32)
+            )
+        return float(jax.device_get(self._defect_jit(self.u)))
 
     # -- analysis / reporting --------------------------------------------
     def analysis(self):
