@@ -53,6 +53,32 @@ def test_cli_run_and_resume(tmp_path):
     assert rec2["results"]["plq"]["n"] >= 1
 
 
+@pytest.mark.skipif("len(__import__('jax').devices()) < 8")
+def test_cli_resume_reapplies_mesh(tmp_path):
+    """Resume must re-apply the domain decomposition (device placement is
+    not checkpointed) and stay bit-identical to an uninterrupted sharded
+    run — the resumed chain continues the same Markov chain."""
+    out = str(tmp_path / "m")
+    args = ["--group", "2", "--dims", "4,4,4,8", "--beta", "2.4",
+            "--mesh", "1,1,2,4", "--engine", "xla", "--seed", "6"]
+    cli_main(["run", *args, "--therm", "2", "--sweeps", "4",
+              "--meas-every", "2", "--out", out])
+    out2 = str(tmp_path / "m2")
+    cli_main(["resume", os.path.join(out, "state.npz"), "--sweeps", "4",
+              "--out", out2])
+    # uninterrupted twin: 2 therm + 8 production in one go
+    out3 = str(tmp_path / "m3")
+    cli_main(["run", *args, "--therm", "2", "--sweeps", "8",
+              "--meas-every", "2", "--out", out3])
+    rec2 = json.load(open(os.path.join(out2, "results.json")))
+    rec3 = json.load(open(os.path.join(out3, "results.json")))
+    # resumed series rows == last rows of the uninterrupted series
+    s2 = np.load(os.path.join(out2, "state.npz"))["obs"]
+    s3 = np.load(os.path.join(out3, "state.npz"))["obs"]
+    np.testing.assert_array_equal(s2[-2:], s3[-2:])
+    assert rec2["config"]["mesh"] == [1, 1, 2, 4] == rec3["config"]["mesh"]
+
+
 def test_periodic_checkpointing(tmp_path):
     """cfg.ckpt_every: series identical to an unchunked run, and the mid-run
     dump resumes to the same final chain (QCDGPU's periodic state save)."""
