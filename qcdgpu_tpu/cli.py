@@ -82,7 +82,32 @@ def _add_run_args(p: argparse.ArgumentParser):
                    help="threefry (bit-reproducible) or hw (TPU PRNG, faster)")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a jax.profiler trace (per-kernel timings)")
+    p.add_argument("--progress", type=int, default=0, metavar="N",
+                   help="print a progress line every N production sweeps "
+                        "(QCDGPU's per-ITER stdout; 0 = silent)")
     p.add_argument("--out", default="results", help="output directory")
+
+
+def _progress_printer(cfg):
+    """Per-chunk stdout line: sweeps done, wall rate, latest observables."""
+    from .ops.measure import measure_obs_names
+
+    names = list(measure_obs_names(cfg))
+    state = {"t": time.time(), "done": 0}
+
+    def cb(done, n, row):
+        now = time.time()
+        dt, dn = now - state["t"], done - state["done"]
+        state["t"], state["done"] = now, done
+        rate = (1 + cfg.n_or) * cfg.n_links * dn / max(dt, 1e-9)
+        msg = f"  sweep {done}/{n}  ({rate:.3g} lu/s)"
+        if row is not None:
+            plq = row[names.index("plq")]
+            pre = row[names.index("poly_re")]
+            msg += f"  plq={plq:.6f} poly_re={pre:+.5f}"
+        print(msg, flush=True)
+
+    return cb
 
 
 def _load_config_file(path: str) -> dict:
@@ -156,7 +181,12 @@ def cmd_run(args):
         timings["thermalize_s"] = round(time.time() - t0, 3)
         t0 = time.time()
         os.makedirs(args.out, exist_ok=True)
-        sim.run(ckpt_path=os.path.join(args.out, "state.npz"))
+        prog = getattr(args, "progress", 0)
+        sim.run(
+            ckpt_path=os.path.join(args.out, "state.npz"),
+            progress_every=prog,
+            progress=_progress_printer(cfg) if prog else None,
+        )
         sim.sync()
         timings["production_s"] = round(time.time() - t0, 3)
     n_link_updates = (1 + cfg.n_or) * cfg.n_links * (cfg.sweeps + cfg.sweeps_therm)
@@ -200,7 +230,10 @@ def cmd_resume(args):
     t0 = time.time()
     os.makedirs(args.out, exist_ok=True)
     # keep periodic checkpointing alive across resumes (cfg.ckpt_every)
-    sim.run(args.sweeps, ckpt_path=os.path.join(args.out, "state.npz"))
+    prog = getattr(args, "progress", 0)
+    sim.run(args.sweeps, ckpt_path=os.path.join(args.out, "state.npz"),
+            progress_every=prog,
+            progress=_progress_printer(sim.cfg) if prog else None)
     sim.sync()
     timings["production_s"] = round(time.time() - t0, 3)
     _finish_run(sim, args, timings)
@@ -368,6 +401,8 @@ def main(argv=None):
     p = sub.add_parser("resume", help="resume from a checkpoint")
     p.add_argument("checkpoint")
     p.add_argument("--sweeps", type=int, default=None)
+    p.add_argument("--progress", type=int, default=0, metavar="N",
+                   help="print a progress line every N production sweeps")
     p.add_argument("--out", default="results")
     p.set_defaults(fn=cmd_resume)
 

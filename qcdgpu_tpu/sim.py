@@ -315,32 +315,49 @@ class Simulation:
         return self
 
     def run(self, n: Optional[int] = None, measure_every: Optional[int] = None,
-            ckpt_path: Optional[str] = None):
+            ckpt_path: Optional[str] = None, progress_every: int = 0,
+            progress=None):
         """Production sweeps; returns the observable series [n_meas, n_obs].
 
         With ckpt_path and cfg.ckpt_every > 0, the full state is dumped
         every ckpt_every sweeps (QCDGPU's periodic state save), so a long
         run is resumable after an interruption.
+
+        progress(sweeps_done, n, last_obs_row_or_None) is called after
+        every progress_every sweeps (QCDGPU prints per-ITER progress to
+        stdout; chunking is free — sweep counts are traced, so no
+        recompile, see runner.py).
         """
         n = self.cfg.sweeps if n is None else n
         me = self.cfg.meas_every if measure_every is None else measure_every
         every = self.cfg.ckpt_every if ckpt_path else 0
+        if progress_every and me:
+            # chunk boundaries must land on measurement-block boundaries
+            # or the series would depend on the progress cadence (same
+            # rule config enforces for ckpt_every)
+            progress_every = -(-progress_every // me) * me
         rows = []
-        left = n
-        while left > 0:
-            step = min(left, every) if every else left
+        done = 0
+        while done < n:
+            step = n - done
+            if every:
+                step = min(step, every - done % every)
+            if progress_every:
+                step = min(step, progress_every - done % progress_every)
             st, obs = self._run.packed(
                 self._packed, self.base_key, self.sweep_idx, step, me
             )
             self._us, self._u = st, None
             self.sweep_idx += step
-            left -= step
+            done += step
             obs = np.asarray(obs)
             if obs.size:
                 rows.append(obs)
                 self.obs_history.append(obs)
-            if every and (left > 0 or step == every):
+            if every and done % every == 0 and (done < n or n % every == 0):
                 self.save(ckpt_path)
+            if progress is not None:
+                progress(done, n, obs[-1] if obs.size else None)
         return (np.concatenate(rows, axis=0) if rows
                 else np.zeros((0, len(obs_names(self.cfg))), np.float32))
 

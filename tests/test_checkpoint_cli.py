@@ -53,6 +53,31 @@ def test_cli_run_and_resume(tmp_path):
     assert rec2["results"]["plq"]["n"] >= 1
 
 
+def test_progress_chunking_series_invariant(capsys):
+    """Progress chunking must not change the measurement series (chunk
+    boundaries are rounded to measurement blocks), and the callback fires
+    at the rounded cadence."""
+    cfg = SimConfig(group=2, dims=(4, 4, 4, 4), beta=2.3, sweeps_therm=0,
+                    sweeps=0, seed=5, meas_every=2)
+    a, b = Simulation(cfg), Simulation(cfg)
+    oa = a.run(8, measure_every=2)
+    calls = []
+    ob = b.run(8, measure_every=2, progress_every=3,
+               progress=lambda d, n, r: calls.append((d, n, r is not None)))
+    np.testing.assert_array_equal(oa, ob)
+    assert calls == [(4, 8, True), (8, 8, True)]  # 3 rounded up to 2*me
+
+    out = "/tmp/_progress_cli_test"
+    cli_main([
+        "run", "--group", "2", "--dims", "4,4,4,4", "--beta", "2.4",
+        "--therm", "0", "--sweeps", "4", "--seed", "1", "--progress", "2",
+        "--out", out,
+    ])
+    stdout = capsys.readouterr().out
+    assert "sweep 2/4" in stdout and "sweep 4/4" in stdout
+    assert "plq=" in stdout
+
+
 @pytest.mark.skipif("len(__import__('jax').devices()) < 8")
 def test_cli_resume_reapplies_mesh(tmp_path):
     """Resume must re-apply the domain decomposition (device placement is
