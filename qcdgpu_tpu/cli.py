@@ -34,6 +34,18 @@ def _parse_dims(s: str):
     return tuple(parts)
 
 
+def _parse_mesh(s: str):
+    # no single-value expansion here: "--mesh 2" must not silently mean
+    # the 16-device mesh (2,2,2,2) the way "--dims 8" means 8^4
+    parts = [int(x) for x in s.replace("x", ",").split(",")]
+    if len(parts) != 4:
+        raise argparse.ArgumentTypeError(
+            "mesh must be 4 comma-separated axis sizes over X,Y,Z,T "
+            "(e.g. 2,1,1,1 for a 2-way X decomposition)"
+        )
+    return tuple(parts)
+
+
 def _parse_betas(s: str):
     """'5.6:6.0:9' -> 9 evenly spaced; or comma list '5.6,5.8,6.0'."""
     if ":" in s:
@@ -74,7 +86,7 @@ def _add_run_args(p: argparse.ArgumentParser):
     p.add_argument("--track-acceptance", action=argparse.BooleanOptionalAction,
                    dest="track_acceptance", default=None,
                    help="record the Metropolis acceptance rate per block")
-    p.add_argument("--mesh", type=_parse_dims,
+    p.add_argument("--mesh", type=_parse_mesh,
                    help="device mesh over X,Y,Z,T (e.g. 1,1,2,4)")
     p.add_argument("--engine", choices=["auto", "xla", "pallas"],
                    help="execution engine (default auto: Pallas on TPU)")
@@ -161,15 +173,13 @@ def _finish_run(sim, args, timings):
 
 
 def cmd_run(args):
-    from .parallel.mesh import mesh_for_config, shard_links
     from .sim import Simulation
     from .utils.profile import trace
 
     cfg = _build_config(args)
+    # Simulation.__init__ places the links onto the cfg.mesh domain
+    # decomposition itself (parallel/mesh.py)
     sim = Simulation(cfg)
-    mesh = mesh_for_config(cfg)
-    if mesh is not None:
-        sim.u = shard_links(sim.u, mesh)
     timings = {}
     with trace(getattr(args, "profile", None)):
         t0 = time.time()
@@ -214,16 +224,11 @@ def cmd_run(args):
 
 
 def cmd_resume(args):
-    from .parallel.mesh import mesh_for_config, shard_links
     from .sim import Simulation
 
+    # device placement is not part of the checkpoint; Simulation.__init__
+    # re-applies the cfg.mesh domain decomposition on load
     sim = Simulation.load(args.checkpoint)
-    # re-apply the domain decomposition (device placement is not part of
-    # the checkpoint): without this a resumed multi-chip XLA run would
-    # compile a single-device program
-    mesh = mesh_for_config(sim.cfg)
-    if mesh is not None:
-        sim.u = shard_links(sim.u, mesh)
     t0 = time.time()
     sim.warmup()
     timings = {"compile_s": round(time.time() - t0, 3)}

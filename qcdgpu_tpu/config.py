@@ -111,6 +111,11 @@ class SimConfig:
                 "track_acceptance is an XLA-engine feature (engine='xla' or "
                 "'auto', which resolves to the XLA engine when tracking)"
             )
+        if self.engine == "xla" and self.rng_mode == "hw":
+            raise ValueError(
+                "rng_mode='hw' (TPU hardware PRNG) is a Pallas-engine "
+                "feature; the XLA engine always draws threefry streams"
+            )
         if self.engine == "pallas" and self.dtype != "complex64":
             raise ValueError("the pallas engine is float32 (complex64) only")
         if self.engine == "pallas" and self.meas_dtype == "double":

@@ -58,6 +58,15 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
             "the ensemble runs unsharded lattices only (cfg.mesh must be "
             "all ones); parallelize a scan over devices with chain_mesh"
         )
+    if cfg.track_acceptance:
+        # the per-chain sweep below is built without acceptance
+        # accumulation, so the acc_rate column obs_names(cfg) would
+        # advertise can never appear in ensemble rows — reject instead
+        # of silently misaligning the observable layout
+        raise ValueError(
+            "track_acceptance is not supported in ensemble/scan runs "
+            "(per-chain Simulation runs only)"
+        )
     if chain_mesh is not None:
         nshards = chain_mesh.shape["c"]
         if n_chains % nshards:
@@ -162,19 +171,28 @@ class BetaScan:
         self._sync_jit = None
         self.betas = jnp.asarray(np.asarray(betas, np.float32))
         c = len(betas)
-        keys = [rng.make_base_key(cfg.seed + 1000 * i) for i in range(c)]
-        self.keys = jnp.stack(keys)
         # start states under jit (vmapped over chains): eager constructor
         # chains are UNIMPLEMENTED on some TPU runtimes (see Simulation)
         from functools import partial
 
         if _defer_start:
-            self.us = None  # caller assigns the checkpointed field
-        elif cfg.start == "hot":
-            self.us = jax.jit(jax.vmap(partial(hot_start, cfg)))(self.keys)
+            # load() assigns the checkpointed keys and field directly; the
+            # C per-chain key chains would be wasted eager dispatches
+            self.keys = None
+            self.us = None
         else:
-            u0 = jax.jit(partial(cold_start, cfg))()
-            self.us = jnp.broadcast_to(u0, (c,) + u0.shape)
+            keys = [rng.make_base_key(cfg.seed + 1000 * i) for i in range(c)]
+            self.keys = jnp.stack(keys)
+            if cfg.start == "hot":
+                self.us = jax.jit(jax.vmap(partial(hot_start, cfg)))(self.keys)
+            elif cfg.start == "continue":
+                raise ValueError(
+                    "start='continue' resumes a checkpoint: use "
+                    "BetaScan.load(path) (CLI: `scan --resume-state`)"
+                )
+            else:  # "cold"
+                u0 = jax.jit(partial(cold_start, cfg))()
+                self.us = jnp.broadcast_to(u0, (c,) + u0.shape)
         self._n_obs = len(measure_obs_names(cfg))
         self.chain_mesh = self._resolve_chain_mesh(chain_mesh, cfg, c)
         cmesh = None

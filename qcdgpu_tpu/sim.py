@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from .config import SimConfig
 from .ops import rng, sun
+from .parallel.mesh import is_lattice_sharded
 from .ops.lattice import NDIM, parity_mask, site_index
 from .ops.measure import make_measure_fn, measure_obs_names, obs_names
 from .ops.samplers import update_links
@@ -199,6 +200,19 @@ def make_chunk_runner(cfg: SimConfig):
         from .ops.pallas.engine import make_pallas_chunk_runner
 
         return make_pallas_chunk_runner(cfg)
+    if cfg.rng_mode == "hw":
+        # engine='auto' resolved to XLA (CPU backend, float64, Z/T mesh,
+        # acceptance tracking, ...) — the XLA path has no hardware-PRNG
+        # mode, so the run draws threefry streams instead of silently
+        # misreporting rng_mode='hw' provenance
+        import warnings
+
+        warnings.warn(
+            "rng_mode='hw' requested but the run resolved to the XLA "
+            "engine, which always draws threefry streams; results are "
+            "produced with rng_mode='threefry'",
+            stacklevel=2,
+        )
     from .runner import build_chunk_runner
 
     sweep = make_sweep_fn(cfg, with_acc=cfg.track_acceptance)
@@ -239,8 +253,22 @@ class Simulation:
             self.u = init_u
         elif cfg.start == "hot":
             self.u = jax.jit(partial(hot_start, cfg))(self.base_key)
-        else:  # "cold" (and "continue" callers pass init_u or use load())
+        elif cfg.start == "continue":
+            raise ValueError(
+                "start='continue' resumes a checkpoint: use "
+                "Simulation.load(path) (CLI: `resume`) or pass init_u"
+            )
+        else:  # "cold"
             self.u = jax.jit(partial(cold_start, cfg))()
+        if is_lattice_sharded(cfg):
+            # place the links onto the domain-decomposition mesh here (not
+            # in the CLI) so library users get a genuinely multi-device XLA
+            # program too; the Pallas sharded runner re-packs under
+            # shard_map either way, and re-placing an already-placed field
+            # is a no-op
+            from .parallel.mesh import make_mesh, shard_links
+
+            self.u = shard_links(self.u, make_mesh(cfg.mesh))
 
     # -- state layouts ----------------------------------------------------
     # The engine-layout state stays device-resident across chunk calls;
@@ -354,7 +382,7 @@ class Simulation:
             if obs.size:
                 rows.append(obs)
                 self.obs_history.append(obs)
-            if every and done % every == 0 and (done < n or n % every == 0):
+            if every and done % every == 0:
                 self.save(ckpt_path)
             if progress is not None:
                 progress(done, n, obs[-1] if obs.size else None)

@@ -143,16 +143,15 @@ def check_multichip(quick=False):
                        "virtual 8-device CPU mesh",
             "pass": None,
         }
-    from .parallel.mesh import mesh_for_config, shard_links
-
-    mx = 2 ** int(np.log2(n_dev))
+    # clamp to the checkerboard limit dims[0] // 2 (each X shard needs an
+    # even extent) so a >=32-device host doesn't fail config validation
+    mx = min(2 ** int(np.log2(n_dev)), 16)
     cfg = SimConfig(
         group=3, dims=(32, 32, 32, 32), beta=6.0, n_or=1,
         mesh=(mx, 1, 1, 1), sweeps_therm=50 if quick else 150,
         sweeps=100 if quick else 300, seed=3,
     )
-    sim = Simulation(cfg)
-    sim.u = shard_links(sim.u, mesh_for_config(cfg))
+    sim = Simulation(cfg)  # __init__ places the links onto the cfg.mesh
     sim.thermalize()
     sim.run()
     st = sim.analysis()["plq"]

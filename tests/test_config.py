@@ -34,3 +34,59 @@ def test_auto_engine_routes_double_measurement_to_xla():
 def test_dims_divisible_by_mesh_checkerboard():
     with pytest.raises(ValueError, match="even per mesh shard"):
         SimConfig(dims=(4, 4, 4, 4), mesh=(4, 1, 1, 1))
+
+
+def test_xla_engine_rejects_hw_rng():
+    # the XLA path always draws threefry; silently downgrading would
+    # misreport the run's rng_mode provenance
+    with pytest.raises(ValueError, match="rng_mode"):
+        SimConfig(engine="xla", rng_mode="hw")
+
+
+def test_auto_engine_hw_rng_on_cpu_warns():
+    # engine='auto' off-TPU resolves to XLA: the requested hardware PRNG
+    # does not exist there, so the runner must say so out loud
+    from qcdgpu_tpu.sim import make_chunk_runner
+
+    with pytest.warns(UserWarning, match="threefry"):
+        make_chunk_runner(SimConfig(dims=(4, 4, 4, 4), rng_mode="hw"))
+
+
+def test_continue_start_requires_checkpoint():
+    from qcdgpu_tpu.sim import Simulation
+
+    with pytest.raises(ValueError, match="continue"):
+        Simulation(SimConfig(dims=(4, 4, 4, 4), start="continue"))
+
+
+def test_ensemble_rejects_track_acceptance():
+    from qcdgpu_tpu.models.ensemble import make_ensemble_runner
+
+    cfg = SimConfig(dims=(4, 4, 4, 4), algorithm="metropolis",
+                    track_acceptance=True)
+    with pytest.raises(ValueError, match="track_acceptance"):
+        make_ensemble_runner(cfg, 2)
+
+
+def test_cli_mesh_parser_requires_four_axes():
+    import argparse
+
+    from qcdgpu_tpu.cli import _parse_mesh
+
+    assert _parse_mesh("2,1,1,1") == (2, 1, 1, 1)
+    with pytest.raises(argparse.ArgumentTypeError, match="mesh"):
+        _parse_mesh("2")
+
+
+def test_simulation_places_links_on_mesh():
+    # library-level domain decomposition: Simulation itself must shard the
+    # links over cfg.mesh (previously only the CLI did)
+    import jax
+
+    from qcdgpu_tpu.sim import Simulation
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    sim = Simulation(SimConfig(dims=(8, 8, 8, 8), mesh=(2, 1, 1, 1),
+                               engine="xla"))
+    assert len(sim.u.sharding.device_set) == 2
