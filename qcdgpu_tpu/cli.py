@@ -278,13 +278,27 @@ def cmd_scan(args):
     scan.save(os.path.join(args.out, "scan_state.npz"))
     from .ops.measure import measure_obs_names
 
+    from .utils.stats import susceptibility
+
+    names = list(measure_obs_names(cfg))
     rows = []
     for c, b in enumerate(betas):
         row = {"beta": b}
-        for k, name in enumerate(measure_obs_names(cfg)):
+        for k, name in enumerate(names):
             st = analyze_series(obs[c, :, k])
             row[name] = st.mean
             row[name + "_err"] = st.err
+        # deconfinement observables on the Polyakov modulus series:
+        # <|P|> (not |<P>|, which averages away the Z_N phase flips) and
+        # the susceptibility chi = V (<|P|^2> - <|P|>^2), whose peak over
+        # the beta grid locates beta_c
+        pabs = np.hypot(obs[c, :, names.index("poly_re")],
+                        obs[c, :, names.index("poly_im")])
+        st = analyze_series(pabs)
+        row["poly_abs"], row["poly_abs_err"] = st.mean, st.err
+        row["poly_sus"], row["poly_sus_err"] = susceptibility(
+            pabs, float(cfg.volume)
+        )
         rows.append(row)
     rec = {
         "config": cfg.to_dict(),
@@ -294,12 +308,12 @@ def cmd_scan(args):
     }
     path = os.path.join(args.out, "scan.json")
     report.write_json(path, rec)
-    hdr = f"{'beta':>8} {'plq':>10} {'|poly|':>10} {'poly_re':>10}"
+    hdr = (f"{'beta':>8} {'plq':>10} {'<|poly|>':>10} {'poly_re':>10} "
+           f"{'chi_P':>10}")
     print(hdr)
     for r in rows:
-        poly_abs = (r["poly_re"] ** 2 + r["poly_im"] ** 2) ** 0.5
-        print(f"{r['beta']:8.4f} {r['plq']:10.6f} {poly_abs:10.6f} "
-              f"{r['poly_re']:10.6f}")
+        print(f"{r['beta']:8.4f} {r['plq']:10.6f} {r['poly_abs']:10.6f} "
+              f"{r['poly_re']:10.6f} {r['poly_sus']:10.4f}")
     print(f"wrote {path}")
 
 

@@ -67,6 +67,35 @@ def analyze_series(x, min_bins: int = 8) -> SeriesStats:
     return SeriesStats(n, mean, var, err_naive, best, float(tau), n // max(bin_size, 1))
 
 
+def susceptibility(x, volume: float = 1.0, min_bins: int = 8):
+    """(chi, err): chi = volume * (<x^2> - <x>^2) over the series.
+
+    The standard finite-T observable on the Polyakov-loop modulus |P|:
+    chi_P peaks at the deconfinement coupling (BASELINE config 3's beta
+    grid locates beta_c this way).  The error is a delete-one-bin
+    jackknife of the variance estimator, taken at the binning plateau
+    (doubling bin sizes, largest finite error) so autocorrelation is
+    accounted for like analyze_series does for the mean.
+    """
+    x = np.asarray(x, dtype=np.float64).ravel()
+    n = len(x)
+    if n < 2:
+        return float("nan"), float("nan")
+    est = float(volume * x.var())
+
+    def chi(y):
+        return volume * np.var(y)
+
+    best = float("nan")
+    bs = 1
+    while n // bs >= min_bins:
+        _, e = jackknife(x, chi, bs)
+        if np.isfinite(e) and not (e <= best):  # max; best starts as nan
+            best = e
+        bs *= 2
+    return est, best
+
+
 def jackknife(x: np.ndarray, estimator=np.mean, bin_size: int = 1):
     """Delete-one-bin jackknife: (estimate, error)."""
     x = np.asarray(x, dtype=np.float64).ravel()
