@@ -70,6 +70,9 @@ def threefry2x32(k0: int, k1: int, x0: np.ndarray, x1: np.ndarray):
         raise RuntimeError("native prngcl library unavailable")
     x0 = np.ascontiguousarray(x0, np.uint32)
     x1 = np.ascontiguousarray(x1, np.uint32)
+    if x0.size != x1.size:
+        # n is taken from x0; a shorter x1 would be read out of bounds in C
+        raise ValueError(f"counter arrays differ in size: {x0.size} vs {x1.size}")
     n = x0.size
     y0 = np.empty(n, np.uint32)
     y1 = np.empty(n, np.uint32)

@@ -6,9 +6,11 @@ autocorrelated, so the acceptance gates ("within MC error") need
 autocorrelation-aware errors — we add log-binning and jackknife on top of the
 reference capabilities (SURVEY.md §7 "Hard parts" #5).
 
-Pure numpy on the host: the series are tiny (one scalar per measurement).
-A C++ implementation of the same estimators lives in
-qcdgpu_tpu/native/analysis and is used when built (see utils/native.py).
+Host-side like the reference's (QCDGPU's data_analysis is host C++): a C++
+implementation of the same estimators lives in qcdgpu_tpu/native/analysis;
+analyze_series dispatches to it when the library builds, with the numpy
+implementation below as the fallback and the parity oracle
+(tests/test_native_analysis.py).
 """
 
 from __future__ import annotations
@@ -53,16 +55,22 @@ def analyze_series(x, min_bins: int = 8) -> SeriesStats:
     var = float(x.var()) if n else float("nan")
     if n < 2:
         return SeriesStats(n, mean, var, float("nan"), float("nan"), float("nan"), 1)
-    err_naive = float(np.sqrt(x.var(ddof=1) / n))
-    best = err_naive
-    bin_size = 1
-    bs = 2
-    while n // bs >= min_bins:
-        e = binned_error(x, bs)
-        if np.isfinite(e) and e > best:
-            best = e
-            bin_size = bs
-        bs *= 2
+    from ..native import analysis as native_analysis
+
+    if native_analysis.available():
+        mean, var, err_naive = native_analysis.series_moments(x)
+        best, bin_size = native_analysis.plateau_error(x, min_bins)
+    else:
+        err_naive = float(np.sqrt(x.var(ddof=1) / n))
+        best = err_naive
+        bin_size = 1
+        bs = 2
+        while n // bs >= min_bins:
+            e = binned_error(x, bs)
+            if np.isfinite(e) and e > best:
+                best = e
+                bin_size = bs
+            bs *= 2
     tau = 0.5 * (best / err_naive) ** 2 if err_naive > 0 else float("nan")
     return SeriesStats(n, mean, var, err_naive, best, float(tau), n // max(bin_size, 1))
 

@@ -53,7 +53,7 @@ def test_cli_run_and_resume(tmp_path):
     assert rec2["results"]["plq"]["n"] >= 1
 
 
-def test_progress_chunking_series_invariant(capsys):
+def test_progress_chunking_series_invariant(capsys, tmp_path):
     """Progress chunking must not change the measurement series (chunk
     boundaries are rounded to measurement blocks), and the callback fires
     at the rounded cadence."""
@@ -67,7 +67,7 @@ def test_progress_chunking_series_invariant(capsys):
     np.testing.assert_array_equal(oa, ob)
     assert calls == [(4, 8, True), (8, 8, True)]  # 3 rounded up to 2*me
 
-    out = "/tmp/_progress_cli_test"
+    out = str(tmp_path / "progress_cli")
     cli_main([
         "run", "--group", "2", "--dims", "4,4,4,4", "--beta", "2.4",
         "--therm", "0", "--sweeps", "4", "--seed", "1", "--progress", "2",
