@@ -90,8 +90,11 @@ def _add_run_args(p: argparse.ArgumentParser):
                    help="device mesh over X,Y,Z,T (e.g. 1,1,2,4)")
     p.add_argument("--engine", choices=["auto", "xla", "pallas"],
                    help="execution engine (default auto: Pallas on TPU)")
-    p.add_argument("--rng-mode", choices=["threefry", "hw"], dest="rng_mode",
-                   help="threefry (bit-reproducible) or hw (TPU PRNG, faster)")
+    p.add_argument("--rng-mode", dest="rng_mode",
+                   help="threefry (bit-reproducible), hw (TPU PRNG, faster), "
+                        "or prngcl:<gen> (a reference-family generator — "
+                        "ranlux0..4, ranmar, xor128, xor7, mrg32k3a, "
+                        "parkmiller, constant — as device-resident streams)")
     p.add_argument("--profile", metavar="DIR",
                    help="capture a jax.profiler trace (per-kernel timings)")
     p.add_argument("--progress", type=int, default=0, metavar="N",

@@ -66,7 +66,11 @@ class SimConfig:
     # "threefry": bit-identical counter RNG across engines/shardings.
     # "hw": TPU hardware PRNG seeded per (key, stage, slab) — faster,
     # statistically equivalent (RNG parity suite), not bit-compatible.
-    rng_mode: str = "threefry"  # "threefry" | "hw"
+    # "prngcl:<gen>": a reference-family generator (ranlux0..4, ranmar,
+    # xor128, xor7, mrg32k3a, parkmiller, constant) run as per-site
+    # device-resident streams on the XLA engine — QCDGPU's selectable
+    # PRNGCL generators (ops/prng_streams.py).
+    rng_mode: str = "threefry"  # "threefry" | "hw" | "prngcl:<gen>"
 
     # --- parallel --------------------------------------------------------
     # mesh axis sizes over the lattice site axes (X, Y, Z, T); 1 = unsharded.
@@ -85,7 +89,22 @@ class SimConfig:
             raise ValueError(f"unknown start {self.start!r}")
         if self.engine not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown engine {self.engine!r}")
-        if self.rng_mode not in ("threefry", "hw"):
+        if self.rng_mode.startswith("prngcl:"):
+            from .ops.prng_streams import STREAM_GENERATORS
+
+            gen = self.rng_mode.split(":", 1)[1]
+            if gen not in STREAM_GENERATORS:
+                raise ValueError(
+                    f"unknown PRNGCL generator {gen!r}; "
+                    f"have {STREAM_GENERATORS}"
+                )
+            if self.engine == "pallas":
+                raise ValueError(
+                    "rng_mode='prngcl:<gen>' carries per-site generator "
+                    "state through the sweep — an XLA-engine feature "
+                    "(engine='xla' or 'auto')"
+                )
+        elif self.rng_mode not in ("threefry", "hw"):
             raise ValueError(f"unknown rng_mode {self.rng_mode!r}")
         if self.meas_dtype not in ("same", "double"):
             raise ValueError(f"unknown meas_dtype {self.meas_dtype!r}")

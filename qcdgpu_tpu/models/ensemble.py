@@ -67,6 +67,14 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
             "track_acceptance is not supported in ensemble/scan runs "
             "(per-chain Simulation runs only)"
         )
+    if cfg.rng_mode.startswith("prngcl:"):
+        # the PRNGCL stream sweep carries (u, rng_state) tuples that the
+        # per-chain vmap below does not thread; chains in counter modes
+        # are already independent by construction
+        raise ValueError(
+            "rng_mode='prngcl:<gen>' is not supported in ensemble/scan "
+            "runs (per-chain Simulation runs only)"
+        )
     if chain_mesh is not None:
         nshards = chain_mesh.shape["c"]
         if n_chains % nshards:

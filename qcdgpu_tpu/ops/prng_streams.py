@@ -1,0 +1,467 @@
+"""PRNGCL generator family as device-resident, per-site stateful streams.
+
+QCDGPU's PRNGCL library keeps one generator state per GPU thread in device
+buffers and advances it in-kernel each time the update needs uniforms
+(random/prngcl_*.cl in the reference; SURVEY.md §2 "PRNGCL", §3.3).  This
+module is the TPU-native mirror of that architecture: every lattice site
+owns an independent generator state held in device arrays shaped
+``[state_words, X, Y, Z, T]``, and ``draw`` advances all sites in lockstep
+inside the jitted sweep — the stream structure of the reference design with
+none of its host<->device staging.
+
+The algorithms are the same public ones re-implemented by the native
+statistical-baseline library (native/prngcl/prngcl.cpp): Luescher RANLUX
+(luxury 0..4), Marsaglia RANMAR and XOR128, Panneton–L'Ecuyer XOR7,
+L'Ecuyer MRG32k3a, Park–Miller minstd, and the CONSTANT debug generator.
+Each JAX stream is bit-compatible with the native generator seeded with the
+same per-site seed (tests/test_prng_streams.py), using only uint32/float32
+arithmetic so the streams run unchanged on CPU and TPU (no 64-bit integer
+or double-precision ops: MRG32k3a's 53-bit products are formed with 16-bit
+limb multiplies, Park–Miller uses Schrage's decomposition).
+
+Selected via ``SimConfig(rng_mode="prngcl:<name>")`` on the XLA engine.
+Unlike the default counter-based threefry mode, the stream state is real
+state: it is carried through the chunk runner alongside the links and
+checkpointed with them (QCDGPU likewise dumps its PRNG state buffers —
+SURVEY.md §3.5).  Per-site streams keep the sharding guarantee: a site's
+draw depends only on its own state, so sharded and unsharded runs remain
+bit-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+_F32 = jnp.float32
+_INV24 = np.float32(1.0 / (1 << 24))
+_INV32 = np.float32(1.0 / 4294967296.0)
+
+#: selectable generator names (rng_mode = "prngcl:<name>")
+STREAM_GENERATORS = (
+    "ranlux0", "ranlux1", "ranlux2", "ranlux3", "ranlux4",
+    "ranmar", "xor128", "xor7", "mrg32k3a", "parkmiller", "constant",
+)
+
+
+def site_seeds(seed: int, dims) -> np.ndarray:
+    """Per-site uint64 seeds (host-side): splitmix64 over the global site
+    index, so every site gets a decorrelated seed derived from the run seed
+    (QCDGPU seeds its per-thread RNG states from one host seed the same
+    way).  Row-major over dims — matches ops.lattice.site_index."""
+    n = int(np.prod(dims))
+    z = np.uint64(seed & 0xFFFFFFFFFFFFFFFF) + (
+        np.arange(1, n + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    )
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return z.reshape(tuple(dims))
+
+
+def _seed_lo_hi(s64):
+    return (
+        (s64 & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (s64 >> np.uint64(32)).astype(np.uint32),
+    )
+
+
+def _scan_draw(step, state, n):
+    """Drive ``step(state) -> (value, state')`` n times under lax.scan.
+
+    scan keeps the step body a single compiled region regardless of n —
+    an unrolled python loop replicates the whole step graph n times and
+    makes the sweep programs (8 update stages x n draws each) minutes-slow
+    to compile."""
+    def body(st, _):
+        out, st2 = step(st)
+        return st2, out
+
+    state, outs = jax.lax.scan(body, state, None, length=n)
+    return outs, state
+
+
+# ---------------------------------------------------------------------------
+# XOR128 (Marsaglia xorshift128)
+# ---------------------------------------------------------------------------
+
+
+def _xor128_init(seed, dims):
+    lo, hi = _seed_lo_hi(site_seeds(seed, dims))
+    x = np.uint32(123456789) ^ lo
+    y = np.uint32(362436069) ^ hi
+    z = np.full_like(x, 521288629, np.uint32)
+    w = np.uint32(88675123) + lo * np.uint32(2654435761)
+    x = np.where((x | y | z | w) == 0, np.uint32(1), x)
+    return {
+        "x": jnp.asarray(x), "y": jnp.asarray(y),
+        "z": jnp.asarray(z), "w": jnp.asarray(w),
+    }
+
+
+def _xor128_step(st):
+    t = st["x"] ^ (st["x"] << _U32(11))
+    w = st["w"] ^ (st["w"] >> _U32(19)) ^ t ^ (t >> _U32(8))
+    return w.astype(_F32) * _INV32, {
+        "x": st["y"], "y": st["z"], "z": st["w"], "w": w,
+    }
+
+
+def _xor128_draw(state, n):
+    return _scan_draw(_xor128_step, state, n)
+
+
+# ---------------------------------------------------------------------------
+# XOR7 (Panneton–L'Ecuyer xorshift with 7 xorshifts, 256-bit state)
+# ---------------------------------------------------------------------------
+
+
+def _xor7_init(seed, dims):
+    lo, hi = _seed_lo_hi(site_seeds(seed, dims))
+    s = (lo ^ hi) | np.uint32(1)
+    xs = []
+    for _ in range(8):
+        s = np.uint32(69069) * s + np.uint32(12345)
+        xs.append(s.copy())
+    # rolled-canonical layout: the walking index k always sits at slot 0
+    # (each step rolls the array instead of moving the pointer), so all
+    # lag accesses compile to static slices — a traced k turns every
+    # access into a gather and makes XLA compilation of the unrolled
+    # draw loop pathologically slow
+    return {"x": jnp.asarray(np.stack(xs))}
+
+
+def _xor7_step(st):
+    x = st["x"]
+    t = x[7]
+    t = t ^ (t << _U32(13))
+    y = t ^ (t << _U32(9))
+    t = x[4]
+    y = y ^ t ^ (t << _U32(7))
+    t = x[3]
+    y = y ^ t ^ (t >> _U32(3))
+    t = x[1]
+    y = y ^ t ^ (t >> _U32(10))
+    t = x[0]
+    t = t ^ (t >> _U32(7))
+    y = y ^ t ^ (t << _U32(24))
+    # write slot 0, then advance k: slot i of the new canonical view is
+    # old slot (i+1) & 7
+    return y.astype(_F32) * _INV32, {"x": jnp.roll(x.at[0].set(y), -1, axis=0)}
+
+
+def _xor7_draw(state, n):
+    return _scan_draw(_xor7_step, state, n)
+
+
+# ---------------------------------------------------------------------------
+# RANLUX (Luescher 24-bit subtract-with-borrow, luxury levels 0..4)
+# ---------------------------------------------------------------------------
+
+_RANLUX_P = (24, 48, 97, 223, 389)
+
+
+def _ranlux_init(seed, dims, lux):
+    lo, hi = _seed_lo_hi(site_seeds(seed, dims))
+    s = lo ^ hi
+    s = np.where(s == 0, np.uint32(314159265), s)
+    xs = []
+    for _ in range(24):
+        s = np.uint32(69069) * s + np.uint32(1)
+        xs.append(((s >> 8) & np.uint32(0xFFFFFF)).astype(np.int32))
+    x = np.stack(xs)
+    # rolled-canonical layout: the lag pointers i24/j24 stay 10 slots
+    # apart and both walk downward, so the state is stored rotated with
+    # i24 pinned to slot 23 (hence j24 to slot 9 — exactly the seeding
+    # position) and each step rolls by one.  Static slices instead of
+    # traced-index gathers: see _xor7_init.
+    return {
+        "x": jnp.asarray(x),
+        "carry": jnp.asarray((x[23] == 0).astype(np.int32)),
+        "nb": jnp.asarray(0, _I32),  # draws since the last luxury skip
+    }
+
+
+def _ranlux_step(st):
+    d = st["x"][9] - st["x"][23] - st["carry"]
+    borrow = d < 0
+    d = d + jnp.where(borrow, _I32(1 << 24), _I32(0))
+    return d, {
+        **st,
+        # write slot 23 (= i24), then decrement both pointers: slot i of
+        # the new canonical view is old slot (i - 1) % 24
+        "x": jnp.roll(st["x"].at[23].set(d), 1, axis=0),
+        "carry": borrow.astype(_I32),
+    }
+
+
+def _ranlux_draw(state, n, p):
+    def skip_body(_, st):
+        return _ranlux_step(st)[1]
+
+    def do_skip(st):
+        st = jax.lax.fori_loop(0, p - 24, skip_body, st)
+        return {**st, "nb": jnp.asarray(0, _I32)}
+
+    def emit(st):
+        if p > 24:
+            st = jax.lax.cond(st["nb"] == 24, do_skip, lambda s: s, st)
+        else:  # lux 0: batch counter still wraps, nothing is discarded
+            st = {**st, "nb": jnp.where(st["nb"] == 24, 0, st["nb"])}
+        d, st = _ranlux_step(st)
+        return d.astype(_F32) * _INV24, {**st, "nb": st["nb"] + 1}
+
+    return _scan_draw(emit, state, n)
+
+
+# ---------------------------------------------------------------------------
+# RANMAR (Marsaglia–Zaman lagged Fibonacci + slow arithmetic carry)
+# ---------------------------------------------------------------------------
+
+_RM_CD = np.float32(7654321.0 / 16777216.0)
+_RM_CM = np.float32(16777213.0 / 16777216.0)
+
+
+def _ranmar_init(seed, dims):
+    s64 = site_seeds(seed, dims).ravel()
+    ij = (s64 % np.uint64(31329)).astype(np.int64)
+    kl = ((s64 // np.uint64(31329)) % np.uint64(30082)).astype(np.int64)
+    i = (ij // 177) % 177 + 2
+    j = ij % 177 + 2
+    k = (kl // 169) % 178 + 1
+    ll = kl % 169
+    u = np.zeros((97, s64.size))
+    for ii in range(97):
+        s = np.zeros(s64.size)
+        t = 0.5
+        for _ in range(24):
+            m = (((i * j) % 179) * k) % 179
+            i, j, k = j, k, m
+            ll = (53 * ll + 1) % 169
+            s = s + np.where((ll * m) % 64 >= 32, t, 0.0)
+            t *= 0.5
+        u[ii] = s
+    shape = (97,) + tuple(dims)
+    return {
+        # every value is a multiple of 2^-24 in [0, 1): exact in float32,
+        # and stays exact under the lagged-Fibonacci recurrence.
+        # rolled-canonical layout (see _xor7_init): the lag pointers stay
+        # 64 slots apart, i97 pinned to slot 96 (j97 to slot 32 — the
+        # seeding position) with a roll per step.  The carry c is
+        # site-independent, so it is one scalar, not a per-site array.
+        "u": jnp.asarray(u.reshape(shape), _F32),
+        "c": jnp.asarray(362436.0 / 16777216.0, _F32),
+    }
+
+
+def _ranmar_step(st):
+    u, c = st["u"], st["c"]
+    uni = u[96] - u[32]
+    uni = uni + jnp.where(uni < 0, _F32(1.0), _F32(0.0))
+    u = jnp.roll(u.at[96].set(uni), 1, axis=0)
+    c = c - _RM_CD
+    c = c + jnp.where(c < 0, _RM_CM, _F32(0.0))
+    out = uni - c
+    out = out + jnp.where(out < 0, _F32(1.0), _F32(0.0))
+    return out, {"u": u, "c": c}
+
+
+def _ranmar_draw(state, n):
+    return _scan_draw(_ranmar_step, state, n)
+
+
+# ---------------------------------------------------------------------------
+# MRG32k3a (L'Ecuyer combined multiple recursive generator) — 32-bit only:
+# the 53-bit products a*s are formed with 16-bit limb multiplies and reduced
+# mod m = 2^32 - c by folding 2^32 ≡ c, so the stream runs on TPU where
+# neither int64 nor float64 arithmetic exists.
+# ---------------------------------------------------------------------------
+
+_MRG_M1, _MRG_C1 = np.uint32(4294967087), np.uint32(209)
+_MRG_M2, _MRG_C2 = np.uint32(4294944443), np.uint32(22853)
+_MRG_A12, _MRG_A13 = np.uint32(1403580), np.uint32(810728)
+_MRG_A21, _MRG_A23 = np.uint32(527612), np.uint32(1370589)
+_MRG_NORM = np.float32(2.328306549295728e-10)  # 1/(m1+1)
+
+
+def _mul32(a, b):
+    """Full 32x32 -> 64-bit product of uint32 arrays, as (hi, lo)."""
+    al, ah = a & _U32(0xFFFF), a >> _U32(16)
+    bl, bh = b & _U32(0xFFFF), b >> _U32(16)
+    ll = al * bl
+    mid = al * bh + (ll >> _U32(16))  # <= (2^16-1)^2 + 2^16 - 1: no wrap
+    mid2 = mid + ah * bl
+    carry = (mid2 < mid).astype(_U32)
+    lo = (ll & _U32(0xFFFF)) | (mid2 << _U32(16))
+    hi = ah * bh + (mid2 >> _U32(16)) + (carry << _U32(16))
+    return hi, lo
+
+
+def _mulmod(a, s, m, c):
+    """(a * s) mod m for m = 2^32 - c, a < 2^21, c < 2^16."""
+    hi, lo = _mul32(jnp.broadcast_to(_U32(a), s.shape), s)
+    # v = hi*2^32 + lo ≡ hi*c + lo (mod m); hi < 2^21 so hi*c < 2^37
+    h2, l2 = _mul32(hi, jnp.broadcast_to(_U32(c), hi.shape))
+    t = l2 + lo
+    wrap = (t < lo).astype(_U32)
+    # v ≡ t + (h2 + wrap)*c ; (h2 + wrap)*c < 2^21 — one more wrap possible
+    t2 = t + (h2 + wrap) * _U32(c)
+    t2 = t2 + (t2 < t).astype(_U32) * _U32(c)
+    return jnp.where(t2 >= _U32(m), t2 - _U32(m), t2)
+
+
+def _submod(x, y, m):
+    return jnp.where(x >= y, x - y, x + (_U32(m) - y))
+
+
+def _mrg_init(seed, dims):
+    s64 = site_seeds(seed, dims)
+    words = []
+    z = s64.copy()
+    for i in range(6):
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        t = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        t = (t ^ (t >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        t = t ^ (t >> np.uint64(31))
+        m = 4294967087 if i < 3 else 4294944443
+        # native seeding: 1 + t % (uint64)(m - 2.0)
+        words.append((np.uint64(1) + t % np.uint64(m - 2)).astype(np.uint32))
+    return {
+        "s1": jnp.asarray(np.stack(words[:3])),  # [3, *dims]: s10, s11, s12
+        "s2": jnp.asarray(np.stack(words[3:])),
+    }
+
+
+def _mrg_step(st):
+    s1, s2 = st["s1"], st["s2"]
+    p1 = _submod(
+        _mulmod(_MRG_A12, s1[1], _MRG_M1, _MRG_C1),
+        _mulmod(_MRG_A13, s1[0], _MRG_M1, _MRG_C1),
+        _MRG_M1,
+    )
+    s1 = jnp.stack([s1[1], s1[2], p1])
+    p2 = _submod(
+        _mulmod(_MRG_A21, s2[2], _MRG_M2, _MRG_C2),
+        _mulmod(_MRG_A23, s2[0], _MRG_M2, _MRG_C2),
+        _MRG_M2,
+    )
+    s2 = jnp.stack([s2[1], s2[2], p2])
+    z = _submod(p1, p2, _MRG_M1)
+    z = jnp.where(z == 0, _U32(_MRG_M1), z)
+    return z.astype(_F32) * _MRG_NORM, {"s1": s1, "s2": s2}
+
+
+def _mrg_draw(state, n):
+    return _scan_draw(_mrg_step, state, n)
+
+
+# ---------------------------------------------------------------------------
+# Park–Miller minstd via Schrage's decomposition (all intermediates < 2^31)
+# ---------------------------------------------------------------------------
+
+_PM_M = np.int32(2147483647)
+_PM_A = np.int32(16807)
+_PM_Q = np.int32(127773)  # m // a
+_PM_R = np.int32(2836)    # m % a
+_PM_NORM = np.float32(1.0 / 2147483647.0)
+
+
+def _parkmiller_init(seed, dims):
+    s = (site_seeds(seed, dims) % np.uint64(2147483647)).astype(np.int32)
+    return {"s": jnp.asarray(np.where(s == 0, np.int32(1), s))}
+
+
+def _parkmiller_step(st):
+    s = st["s"]
+    hi = s // _PM_Q
+    t = _PM_A * (s - hi * _PM_Q) - _PM_R * hi
+    s = jnp.where(t > 0, t, t + _PM_M)
+    return s.astype(_F32) * _PM_NORM, {"s": s}
+
+
+def _parkmiller_draw(state, n):
+    return _scan_draw(_parkmiller_step, state, n)
+
+
+# ---------------------------------------------------------------------------
+# CONSTANT (debug generator)
+# ---------------------------------------------------------------------------
+
+
+def _constant_init(seed, dims, value=0.5):
+    del seed
+    return {"v": jnp.full(tuple(dims), value, _F32)}
+
+
+def _constant_draw(state, n):
+    return jnp.stack([state["v"]] * n), state
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def stream_draw_fn(name: str):
+    """The draw function alone (no state init — cheap; state init for
+    large lattices is the expensive host-side part)."""
+    if name not in STREAM_GENERATORS:
+        raise ValueError(f"unknown generator {name!r}; have {STREAM_GENERATORS}")
+    if name.startswith("ranlux"):
+        p = _RANLUX_P[int(name[-1])]
+        return lambda st, n: _ranlux_draw(st, n, p)
+    return {
+        "ranmar": _ranmar_draw,
+        "xor128": _xor128_draw,
+        "xor7": _xor7_draw,
+        "mrg32k3a": _mrg_draw,
+        "parkmiller": _parkmiller_draw,
+        "constant": _constant_draw,
+    }[name]
+
+
+def make_stream(name: str, seed: int, dims):
+    """Build the per-site stream for ``name``: (state0, draw).
+
+    state0: pytree of device arrays (leading state-word axes over [*dims]).
+    draw(state, n) -> (uniforms [n, *dims] float32 in [0, 1), state').
+    Both are jit-safe; draw must be called with static n.
+    """
+    draw = stream_draw_fn(name)
+    dims = tuple(dims)
+    if name.startswith("ranlux"):
+        state0 = _ranlux_init(seed, dims, int(name[-1]))
+    elif name == "ranmar":
+        state0 = _ranmar_init(seed, dims)
+    elif name == "xor128":
+        state0 = _xor128_init(seed, dims)
+    elif name == "xor7":
+        state0 = _xor7_init(seed, dims)
+    elif name == "mrg32k3a":
+        state0 = _mrg_init(seed, dims)
+    elif name == "parkmiller":
+        state0 = _parkmiller_init(seed, dims)
+    else:
+        state0 = _constant_init(seed, dims)
+    return state0, draw
+
+
+def open01(u):
+    """Clamp draws into the open interval (0, 1) for the samplers.
+
+    The raw streams live on [0, 1) and several generators can emit exact
+    zeros; the Kennedy–Pendleton sampler needs log(u) finite (fastmath's
+    domain contract: positive normal float32 below 1).  2^-24 is the
+    uniform grid spacing, so the clamp moves at most one grid point.
+    """
+    return jnp.clip(u, _INV24, np.float32(1.0 - 1.0 / (1 << 24)))
+
+
+def stream_mode_name(rng_mode: str):
+    """The generator name if rng_mode selects a PRNGCL stream, else None."""
+    if rng_mode.startswith("prngcl:"):
+        return rng_mode.split(":", 1)[1]
+    return None

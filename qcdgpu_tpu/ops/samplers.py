@@ -67,6 +67,20 @@ def kp_uniforms_per_subgroup(k_trials: int) -> int:
     return 4 * k_trials + 2
 
 
+def stage_uniform_count(n_colors, kind, k_trials=4, n_hit=3) -> int:
+    """Uniforms one update stage consumes per site (the size of the
+    ``uniforms`` argument of update_links).  Zero for overrelaxation."""
+    from . import sun
+
+    if kind == "heatbath":
+        per = kp_uniforms_per_subgroup(k_trials)
+    elif kind == "metropolis":
+        per = METRO_UNIFORMS_PER_HIT * n_hit
+    else:
+        return 0
+    return 2 * ((per + 1) // 2) * len(sun.subgroups(n_colors))
+
+
 def heatbath_flip(q_w, two_beta_over_n, u, k_trials):
     """Sample the left-multiplier u for one subgroup heat-bath touch.
 
@@ -165,11 +179,18 @@ def update_links(
     n_hit=3,
     metro_delta=0.35,
     return_acc=False,
+    uniforms=None,
 ):
     """Apply one update of ``kind`` to every link in u_mu given its staples.
 
     u_mu, staples: [N, N, *sites];  kind in {"heatbath", "overrelax",
     "metropolis"}.  Caller is responsible for parity masking.
+
+    Randomness comes from the site-keyed threefry streams (key2, site_idx)
+    by default; passing ``uniforms`` ([stage_uniform_count(...), *sites],
+    in (0, 1)) instead consumes pre-drawn numbers — the PRNGCL stream mode
+    (ops/prng_streams.py), where a stateful per-site generator supplies
+    each stage exactly like QCDGPU's PRNG::produce buffer (SURVEY.md §3.3).
 
     With return_acc (metropolis only) also returns the mean acceptance over
     (sites x hits x subgroups).  The mean runs over BOTH parities even
@@ -190,7 +211,15 @@ def update_links(
     # keep the per-subgroup slot layout stable regardless of `per` parity
     per_slots = (per + 1) // 2
     if per:
-        u_all = rng.site_uniforms(key2, site_idx, 2 * per_slots * len(sgs))
+        if uniforms is not None:
+            if uniforms.shape[0] != 2 * per_slots * len(sgs):
+                raise ValueError(
+                    f"uniforms must have {2 * per_slots * len(sgs)} rows "
+                    f"(got {uniforms.shape[0]})"
+                )
+            u_all = uniforms
+        else:
+            u_all = rng.site_uniforms(key2, site_idx, 2 * per_slots * len(sgs))
     acc_total = 0.0
     for s, (i, j) in enumerate(sgs):
         q_w = sun.extract_block_quat(w, i, j)

@@ -28,7 +28,13 @@ from .ops import rng, sun
 from .parallel.mesh import is_lattice_sharded
 from .ops.lattice import NDIM, parity_mask, site_index
 from .ops.measure import make_measure_fn, measure_obs_names, obs_names
-from .ops.samplers import update_links
+from .ops.prng_streams import (
+    make_stream,
+    open01,
+    stream_draw_fn,
+    stream_mode_name,
+)
+from .ops.samplers import stage_uniform_count, update_links
 from .ops.staples import staple_sum
 
 # stage-id namespace (folded into the per-stage RNG key; keep disjoint)
@@ -75,6 +81,29 @@ def hot_start(cfg: SimConfig, base_key):
     return jnp.stack(links, axis=0)
 
 
+def stream_hot_start(cfg: SimConfig, draw, rng_state):
+    """Hot start drawn from a PRNGCL stream (rng_mode='prngcl:<gen>').
+
+    QCDGPU's hot init kernel consumes the run's selected PRNG, so the whole
+    chain — init included — has one randomness provenance; this returns the
+    advanced stream state along with the links so the first sweep continues
+    the same streams."""
+    n = cfg.group
+    cdtype = _cdtype(cfg)
+    links = []
+    rst = rng_state
+    for mu in range(NDIM):
+        uu, rst = draw(rst, 2 * n * n)
+        uu = open01(uu)  # Box–Muller log() needs u > 0
+        r = jnp.sqrt(-2.0 * jnp.log(uu[0::2]))
+        th = (2.0 * np.pi) * uu[1::2]
+        z = jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], axis=0)
+        re = z[: n * n].reshape((n, n) + tuple(cfg.dims))
+        im = z[n * n :].reshape((n, n) + tuple(cfg.dims))
+        links.append(sun.reunitarize((re + 1j * im).astype(cdtype)))
+    return jnp.stack(links, axis=0), rst
+
+
 # ---------------------------------------------------------------------------
 # sweep construction
 # ---------------------------------------------------------------------------
@@ -89,31 +118,53 @@ def make_sweep_fn(cfg: SimConfig, with_acc: bool = False):
     with_acc: the sweep returns (u', acc_rate) where acc_rate is the mean
     Metropolis acceptance over the sweep's update stages (QCDGPU's
     acceptance-rate report; see samplers.update_links).
+
+    With rng_mode='prngcl:<gen>' the sweep state is (u, rng_state): each
+    update stage consumes pre-drawn uniforms from the per-site PRNGCL
+    streams (ops/prng_streams.py) instead of keyed threefry, and the
+    advanced stream state rides the carry — QCDGPU's stateful
+    PRNG::produce -> update kernel cycle (SURVEY.md §3.2-3.3), made
+    functional.
     """
     dims = tuple(cfg.dims)
     kinds = [cfg.algorithm] + ["overrelax"] * cfg.n_or
+    stream_gen = stream_mode_name(cfg.rng_mode)
 
-    def stage(u, key2, parity, mu, kind, beta=None):
+    def stage(u, randomness, parity, mu, kind, beta=None):
+        # randomness: the per-stage threefry key2, or the pre-drawn
+        # uniforms block in PRNGCL stream mode
         a = staple_sum(u, mu)
-        sidx = site_index(dims)
         track = with_acc and kind == "metropolis"
-        new = update_links(
-            u[mu],
-            a,
-            kind,
-            cfg.beta if beta is None else beta,
-            key2,
-            sidx,
+        kw = dict(
             k_trials=cfg.kp_trials,
             n_hit=cfg.n_hit,
             metro_delta=cfg.metro_delta,
             return_acc=track,
         )
+        b = cfg.beta if beta is None else beta
+        if stream_gen is None:
+            new = update_links(
+                u[mu], a, kind, b, randomness, site_index(dims), **kw
+            )
+        else:
+            new = update_links(
+                u[mu], a, kind, b, None, None, uniforms=randomness, **kw
+            )
         acc = None
         if track:
             new, acc = new
         mask = parity_mask(dims, parity)
         return u.at[mu].set(jnp.where(mask, new, u[mu])), acc
+
+    def finish(u, sweep_idx):
+        if cfg.reunit_every > 0:
+            u = jax.lax.cond(
+                (sweep_idx % cfg.reunit_every) == (cfg.reunit_every - 1),
+                lambda x: jnp.stack([sun.reunitarize(x[m]) for m in range(NDIM)]),
+                lambda x: x,
+                u,
+            )
+        return u
 
     def sweep(u, base_key, sweep_idx, beta=None):
         # beta=None uses the static cfg.beta; an array beta supports the
@@ -131,18 +182,41 @@ def make_sweep_fn(cfg: SimConfig, with_acc: bool = False):
                         acc_n += 1
                     stage_id += 1
         assert stage_id <= _STAGES_PER_SWEEP
-        if cfg.reunit_every > 0:
-            u = jax.lax.cond(
-                (sweep_idx % cfg.reunit_every) == (cfg.reunit_every - 1),
-                lambda x: jnp.stack([sun.reunitarize(x[m]) for m in range(NDIM)]),
-                lambda x: x,
-                u,
-            )
+        u = finish(u, sweep_idx)
         if with_acc:
             return u, acc_sum / max(acc_n, 1)
         return u
 
-    return sweep
+    if stream_gen is None:
+        return sweep
+
+    draw = stream_draw_fn(stream_gen)
+    n_upd = stage_uniform_count(
+        cfg.group, cfg.algorithm, cfg.kp_trials, cfg.n_hit
+    )
+
+    def stream_sweep(state, base_key, sweep_idx, beta=None):
+        u, rst = state
+        acc_sum = 0.0
+        acc_n = 0
+        for kind in kinds:
+            for parity in (0, 1):
+                for mu in range(NDIM):
+                    if kind == "overrelax":
+                        uu = None
+                    else:
+                        uu, rst = draw(rst, n_upd)
+                        uu = open01(uu)
+                    u, acc = stage(u, uu, parity, mu, kind, beta)
+                    if acc is not None:
+                        acc_sum = acc_sum + acc
+                        acc_n += 1
+        u = finish(u, sweep_idx)
+        if with_acc:
+            return (u, rst), acc_sum / max(acc_n, 1)
+        return u, rst
+
+    return stream_sweep
 
 
 def resolve_engine(cfg: SimConfig) -> str:
@@ -154,6 +228,10 @@ def resolve_engine(cfg: SimConfig) -> str:
     """
     if cfg.engine != "auto":
         return cfg.engine
+    if stream_mode_name(cfg.rng_mode) is not None:
+        # PRNGCL stream mode carries per-site generator state through the
+        # sweep — an XLA-engine feature (config forbids engine='pallas')
+        return "xla"
     if cfg.dtype != "complex64":
         return "xla"
     if cfg.track_acceptance:
@@ -216,8 +294,20 @@ def make_chunk_runner(cfg: SimConfig):
     from .runner import build_chunk_runner
 
     sweep = make_sweep_fn(cfg, with_acc=cfg.track_acceptance)
+    meas = make_measure_fn(cfg)
+    stream_gen = stream_mode_name(cfg.rng_mode)
+    if stream_gen is not None:
+        # stream mode: runner state is (u, rng_state); the Simulation
+        # driver owns the rng_state across pack/unpack boundaries
+        run = build_chunk_runner(
+            cfg, sweep, lambda st: meas(st[0]), with_acc=cfg.track_acceptance
+        )
+        run.stream_state0, run.stream_draw = make_stream(
+            stream_gen, cfg.seed, cfg.dims
+        )
+        return run
     return build_chunk_runner(
-        cfg, sweep, make_measure_fn(cfg), with_acc=cfg.track_acceptance
+        cfg, sweep, meas, with_acc=cfg.track_acceptance
     )
 
 
@@ -243,6 +333,9 @@ class Simulation:
         self._defect_jit = None
         self._u = None       # canonical complex link field (lazy)
         self._us = None      # engine-layout state (lazy)
+        # PRNGCL stream mode: the per-site generator state (None for
+        # counter-based threefry/hw, whose "state" is (seed, sweep_idx))
+        self._rst = getattr(self._run, "stream_state0", None)
         self.sweep_idx = 0
         self.obs_history: list[np.ndarray] = []
         # start states are built under jit: eager op-by-op dispatch of the
@@ -252,7 +345,13 @@ class Simulation:
         if init_u is not None:
             self.u = init_u
         elif cfg.start == "hot":
-            self.u = jax.jit(partial(hot_start, cfg))(self.base_key)
+            if self._rst is not None:
+                u0, self._rst = jax.jit(
+                    partial(stream_hot_start, cfg, self._run.stream_draw)
+                )(self._rst)
+                self.u = u0
+            else:
+                self.u = jax.jit(partial(hot_start, cfg))(self.base_key)
         elif cfg.start == "continue":
             raise ValueError(
                 "start='continue' resumes a checkpoint: use "
@@ -279,7 +378,8 @@ class Simulation:
     @property
     def u(self):
         if self._u is None:
-            self._u = self._run.unpack(self._us)
+            st = self._us if self._rst is None else self._us[0]
+            self._u = self._run.unpack(st)
         return self._u
 
     @u.setter
@@ -290,8 +390,17 @@ class Simulation:
     @property
     def _packed(self):
         if self._us is None:
-            self._us = self._run.pack(self._u)
+            st = self._run.pack(self._u)
+            if self._rst is not None:
+                st = (st, self._rst)
+            self._us = st
         return self._us
+
+    def _adopt(self, st):
+        """Take ownership of engine state returned by a chunk run."""
+        self._us, self._u = st, None
+        if self._rst is not None:
+            self._rst = st[1]
 
     # -- simulation -------------------------------------------------------
     def sync(self) -> float:
@@ -338,7 +447,7 @@ class Simulation:
         st, _ = self._run.packed(
             self._packed, self.base_key, self.sweep_idx, n, 0
         )
-        self._us, self._u = st, None
+        self._adopt(st)
         self.sweep_idx += n
         return self
 
@@ -375,7 +484,7 @@ class Simulation:
             st, obs = self._run.packed(
                 self._packed, self.base_key, self.sweep_idx, step, me
             )
-            self._us, self._u = st, None
+            self._adopt(st)
             self.sweep_idx += step
             done += step
             obs = np.asarray(obs)
@@ -428,14 +537,27 @@ class Simulation:
     def save(self, path: str):
         from .utils.checkpoint import save_state
 
-        save_state(path, self.cfg, self.u, self.sweep_idx, self.obs_history)
+        rng_stream = None
+        if self._rst is not None:
+            rng_stream = {k: np.asarray(v) for k, v in self._rst.items()}
+        save_state(
+            path, self.cfg, self.u, self.sweep_idx, self.obs_history,
+            rng_stream=rng_stream,
+        )
 
     @classmethod
     def load(cls, path: str) -> "Simulation":
         from .utils.checkpoint import load_state
 
-        cfg, u, sweep_idx, obs_history = load_state(path)
+        cfg, u, sweep_idx, obs_history, rng_stream = load_state(path)
         sim = cls(cfg, init_u=u)
+        if sim._rst is not None:
+            if rng_stream is None:
+                raise ValueError(
+                    "checkpoint has no PRNGCL stream state but the config "
+                    f"runs rng_mode={cfg.rng_mode!r}; cannot resume exactly"
+                )
+            sim._rst = {k: jnp.asarray(v) for k, v in rng_stream.items()}
         sim.sweep_idx = sweep_idx
         sim.obs_history = obs_history
         return sim

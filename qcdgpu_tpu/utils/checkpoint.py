@@ -45,7 +45,12 @@ def links_from_host(ri: np.ndarray, cdtype):
     return rebuild(jnp.asarray(ri[0]), jnp.asarray(ri[1]))
 
 
-def save_state(path, cfg: SimConfig, u, sweep_idx: int, obs_history=None):
+def save_state(path, cfg: SimConfig, u, sweep_idx: int, obs_history=None,
+               rng_stream=None):
+    """rng_stream: the PRNGCL per-site generator state dict for
+    rng_mode='prngcl:<gen>' runs (QCDGPU dumps its PRNG state buffers the
+    same way); None for counter-based modes, whose RNG state is
+    (seed, sweep_idx) and already lives in the config header."""
     from ..ops.measure import obs_names
 
     obs = (
@@ -53,6 +58,11 @@ def save_state(path, cfg: SimConfig, u, sweep_idx: int, obs_history=None):
         if obs_history
         else np.zeros((0, len(obs_names(cfg))), np.float32)
     )
+    extras = {}
+    if rng_stream is not None:
+        extras = {
+            f"rngstream__{k}": np.asarray(v) for k, v in rng_stream.items()
+        }
     np.savez_compressed(
         path,
         version=np.int64(FORMAT_VERSION),
@@ -60,6 +70,7 @@ def save_state(path, cfg: SimConfig, u, sweep_idx: int, obs_history=None):
         links_ri=links_to_host(u),
         sweep_idx=np.int64(sweep_idx),
         obs=obs,
+        **extras,
     )
 
 
@@ -79,5 +90,10 @@ def load_state(path):
         u = links_from_host(z["links_ri"], cdtype)
         sweep_idx = int(z["sweep_idx"])
         obs = z["obs"]
+        rng_stream = {
+            k[len("rngstream__"):]: z[k]
+            for k in z.files
+            if k.startswith("rngstream__")
+        } or None
     history = [obs] if obs.size else []
-    return cfg, u, sweep_idx, history
+    return cfg, u, sweep_idx, history, rng_stream

@@ -1,0 +1,97 @@
+"""PRNGCL device-stream generators (ops/prng_streams.py).
+
+Bit-parity against the native C++ reference implementations
+(native/prngcl/prngcl.cpp): every JAX per-site stream must reproduce the
+native generator seeded with the same per-site seed.  Generators whose
+arithmetic is exactly representable in float32 (24-bit grids, uint32
+outputs scaled by powers of two) must match bit-for-bit; Park–Miller and
+MRG32k3a divide by non-power-of-two moduli, so their float32 outputs carry
+one extra rounding vs the native float64 — compared to 3e-7.  A 400-draw
+window split across draw() calls also proves the carried state is exact:
+any single-bit state error diverges the stream immediately.
+"""
+
+import numpy as np
+import pytest
+
+from qcdgpu_tpu.native import prngcl as native
+from qcdgpu_tpu.ops import prng_streams as ps
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native prngcl library unavailable"
+)
+
+DIMS = (2, 2, 2, 2)  # 16 sites
+N_DRAW = 200  # > 8 luxury batches of 24, and wraps every lag pointer
+SEEDS = (0, 1, 987654321)
+
+EXACT = (
+    "ranlux0", "ranlux3", "ranlux4", "ranmar", "xor128", "xor7", "constant",
+)
+ROUNDED = ("parkmiller", "mrg32k3a")
+
+
+import functools
+
+import jax
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_draw(name, k):
+    draw = ps.stream_draw_fn(name)
+    return jax.jit(lambda st: draw(st, k))
+
+
+def _stream_draws(name, seed, n):
+    """n draws for every site, split over three draw() calls to exercise
+    the carried state (jitted per chunk size — eager per-op dispatch of
+    the unrolled draw loops is pathologically slow)."""
+    state, _ = ps.make_stream(name, seed, DIMS)
+    parts = []
+    for k in (n // 4, n // 2, n - n // 4 - n // 2):
+        u, state = _jit_draw(name, k)(state)
+        parts.append(np.asarray(u))
+    return np.concatenate(parts, axis=0).reshape(n, -1)
+
+
+@pytest.mark.parametrize("name", EXACT)
+@pytest.mark.parametrize("seed", SEEDS)
+def test_stream_matches_native_exactly(name, seed):
+    ours = _stream_draws(name, seed, N_DRAW)
+    seeds = ps.site_seeds(seed, DIMS).ravel()
+    for site in (0, 7, 15):
+        ref = native.fill(name, int(seeds[site]), N_DRAW).astype(np.float32)
+        np.testing.assert_array_equal(
+            ours[:, site], ref, err_msg=f"{name} seed={seed} site={site}"
+        )
+
+
+@pytest.mark.parametrize("name", ROUNDED)
+@pytest.mark.parametrize("seed", SEEDS)
+def test_stream_matches_native_rounded(name, seed):
+    ours = _stream_draws(name, seed, N_DRAW)
+    seeds = ps.site_seeds(seed, DIMS).ravel()
+    for site in (0, 7, 15):
+        ref = native.fill(name, int(seeds[site]), N_DRAW)
+        np.testing.assert_allclose(
+            ours[:, site], ref, atol=3e-7, rtol=0,
+            err_msg=f"{name} seed={seed} site={site}",
+        )
+
+
+@pytest.mark.parametrize("name", ps.STREAM_GENERATORS)
+def test_stream_range_and_open01(name):
+    u = _stream_draws(name, 42, 64)
+    assert np.all(u >= 0.0) and np.all(u < 1.0)
+    import jax.numpy as jnp
+
+    v = np.asarray(ps.open01(jnp.asarray(u)))
+    assert np.all(v > 0.0) and np.all(v < 1.0)
+
+
+def test_sites_decorrelated():
+    """Neighboring sites must not share a stream (distinct seeds)."""
+    u = _stream_draws("xor128", 0, 64)
+    assert not np.array_equal(u[:, 0], u[:, 1])
+    seeds = ps.site_seeds(0, DIMS).ravel()
+    assert len(np.unique(seeds)) == seeds.size

