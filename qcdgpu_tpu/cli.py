@@ -394,20 +394,57 @@ def cmd_rngtest(args):
                          "ks_vs_threefry": {"statistic": stat, "pvalue": p}})
     else:
         print("# native prngcl library unavailable; testing threefry only")
+    stream_fail = False
+    if args.streams:
+        # the device streams behind rng_mode='prngcl:<gen>' — moments of
+        # the pooled per-site streams, plus a bit-parity probe of site 0
+        # against the native generator with the same per-site seed
+        import jax
+
+        from .ops import prng_streams as ps
+
+        dims = (4, 4, 4, 4)
+        nsite = int(np.prod(dims))
+        n_per = max(64, n // nsite)
+        for g in gens:
+            if g == "constant":
+                continue
+            state, draw = ps.make_stream(g, args.seed + 2, dims)
+            u_dev, _ = jax.jit(lambda st, d=draw: d(st, n_per))(state)
+            u_dev = np.asarray(u_dev, np.float64).reshape(n_per, nsite)
+            probe = None
+            if prngcl.available():
+                seeds = ps.site_seeds(args.seed + 2, dims).ravel()
+                k = min(n_per, 256)
+                ref = prngcl.fill(g, int(seeds[0]), k)
+                probe = bool(np.allclose(
+                    u_dev[:k, 0].astype(np.float32),
+                    ref.astype(np.float32), atol=3e-7, rtol=0,
+                ))
+                stream_fail |= not probe
+            flat = np.clip(u_dev.ravel()[:n], 1e-12, 1 - 1e-12)
+            stat, p = ks_vs(tf, flat)
+            rows.append({"generator": f"device:{g}", "moments": moments(flat),
+                         "moment_sigmas": moment_sigmas(flat),
+                         "ks_vs_threefry": {"statistic": stat, "pvalue": p},
+                         "native_match": probe})
     worst = 0.0
     print(f"{'generator':>22} {'E[x]':>9} {'E[x^2]':>9} {'E[x^3]':>9} "
-          f"{'E[x^4]':>9} {'max|sig|':>9} {'KS p':>9}")
+          f"{'E[x^4]':>9} {'max|sig|':>9} {'KS p':>9} {'bit':>5}")
     for r in rows:
         m, s = r["moments"], r["moment_sigmas"]
         mx = max(abs(v) for v in s.values())
         worst = max(worst, mx)
         ks = r.get("ks_vs_threefry", {})
         ksp = f"{ks['pvalue']:9.3g}" if ks else "        -"
+        match = r.get("native_match")
+        bit = "-" if match is None else ("ok" if match else "DIFF")
         print(f"{r['generator']:>22} {m[1]:9.5f} {m[2]:9.5f} {m[3]:9.5f} "
-              f"{m[4]:9.5f} {mx:9.2f} {ksp}")
-    ok = worst < 6.0
+              f"{m[4]:9.5f} {mx:9.2f} {ksp} {bit:>5}")
+    ok = worst < 6.0 and not stream_fail
     print(f"# n={n} per generator; PASS criteria: all moment deviations "
-          f"< 6 sigma -> {'PASS' if ok else 'FAIL'}")
+          f"< 6 sigma and device streams bit-match native -> "
+          f"{'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 
 
@@ -458,6 +495,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--generators", default=None,
                    help="comma list (default: all native reference PRNGs)")
+    p.add_argument("--streams", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="also test the device streams behind "
+                        "rng_mode='prngcl:<gen>' (moments + bit parity "
+                        "vs the native generators)")
     p.set_defaults(fn=cmd_rngtest)
 
     args = ap.parse_args(argv)

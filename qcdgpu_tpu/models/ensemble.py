@@ -19,7 +19,8 @@ from jax.sharding import PartitionSpec as P
 from ..config import SimConfig
 from ..ops import rng
 from ..ops.measure import make_measure_fn, measure_obs_names
-from ..sim import cold_start, hot_start, make_sweep_fn
+from ..ops.prng_streams import make_stream, stream_mode_name
+from ..sim import cold_start, hot_start, make_sweep_fn, stream_hot_start
 
 
 def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
@@ -67,14 +68,6 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
             "track_acceptance is not supported in ensemble/scan runs "
             "(per-chain Simulation runs only)"
         )
-    if cfg.rng_mode.startswith("prngcl:"):
-        # the PRNGCL stream sweep carries (u, rng_state) tuples that the
-        # per-chain vmap below does not thread; chains in counter modes
-        # are already independent by construction
-        raise ValueError(
-            "rng_mode='prngcl:<gen>' is not supported in ensemble/scan "
-            "runs (per-chain Simulation runs only)"
-        )
     if chain_mesh is not None:
         nshards = chain_mesh.shape["c"]
         if n_chains % nshards:
@@ -84,6 +77,7 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
             )
 
     n_obs = len(measure_obs_names(cfg))
+    stream_gen = stream_mode_name(cfg.rng_mode)
     if resolve_engine(cfg) == "pallas":
         from ..ops.pallas import engine as peng
 
@@ -99,6 +93,14 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
         chain_sweep = make_sweep_fn(cfg)
         chain_pack = chain_unpack = lambda x: x
         chain_measure = make_measure_fn(cfg)
+        if stream_gen is not None:
+            # PRNGCL stream mode: the per-chain state is (u, rng_state) —
+            # chain_sweep already threads the tuple; measurement unwraps
+            # the links.  BetaScan owns the stacked stream states across
+            # pack/unpack boundaries (same division of labor as
+            # Simulation._rst), so pack/unpack here stay links-only.
+            meas = chain_measure
+            chain_measure = lambda s: meas(s[0])
 
     def pack(state):
         us, betas, keys = state
@@ -153,10 +155,22 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
                 in_specs=(specs,), out_specs=P("c"), check_vma=False,
             )(st)
 
-    return build_chunk_runner(
+    run = build_chunk_runner(
         cfg, sweep, measure_state, pack=pack, unpack=unpack,
         n_obs=n_chains * n_obs,
     )
+    if stream_gen is not None:
+        # per-chain stream states, seeded on the same schedule as the
+        # per-chain threefry keys (cfg.seed + 1000 * chain)
+        chains = [
+            make_stream(stream_gen, cfg.seed + 1000 * i, cfg.dims)
+            for i in range(n_chains)
+        ]
+        run.stream_state0 = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[st for st, _ in chains]
+        )
+        run.stream_draw = chains[0][1]
+    return run
 
 
 class BetaScan:
@@ -179,6 +193,19 @@ class BetaScan:
         self._sync_jit = None
         self.betas = jnp.asarray(np.asarray(betas, np.float32))
         c = len(betas)
+        self._n_obs = len(measure_obs_names(cfg))
+        self.chain_mesh = self._resolve_chain_mesh(chain_mesh, cfg, c)
+        cmesh = None
+        if self.chain_mesh > 1:
+            from ..parallel.mesh import make_chain_mesh
+
+            cmesh = make_chain_mesh(self.chain_mesh)
+        self._run = make_ensemble_runner(cfg, c, chain_mesh=cmesh)
+        # PRNGCL stream mode: stacked per-chain generator states, owned
+        # here across pack/unpack boundaries (same scheme as
+        # Simulation._rst); None for the counter-based rng modes
+        self._rsts = getattr(self._run, "stream_state0", None)
+        self.sweep_idx = 0
         # start states under jit (vmapped over chains): eager constructor
         # chains are UNIMPLEMENTED on some TPU runtimes (see Simulation)
         from functools import partial
@@ -192,7 +219,15 @@ class BetaScan:
             keys = [rng.make_base_key(cfg.seed + 1000 * i) for i in range(c)]
             self.keys = jnp.stack(keys)
             if cfg.start == "hot":
-                self.us = jax.jit(jax.vmap(partial(hot_start, cfg)))(self.keys)
+                if self._rsts is not None:
+                    us0, self._rsts = jax.jit(jax.vmap(
+                        partial(stream_hot_start, cfg, self._run.stream_draw)
+                    ))(self._rsts)
+                    self.us = us0
+                else:
+                    self.us = jax.jit(
+                        jax.vmap(partial(hot_start, cfg))
+                    )(self.keys)
             elif cfg.start == "continue":
                 raise ValueError(
                     "start='continue' resumes a checkpoint: use "
@@ -201,15 +236,6 @@ class BetaScan:
             else:  # "cold"
                 u0 = jax.jit(partial(cold_start, cfg))()
                 self.us = jnp.broadcast_to(u0, (c,) + u0.shape)
-        self._n_obs = len(measure_obs_names(cfg))
-        self.chain_mesh = self._resolve_chain_mesh(chain_mesh, cfg, c)
-        cmesh = None
-        if self.chain_mesh > 1:
-            from ..parallel.mesh import make_chain_mesh
-
-            cmesh = make_chain_mesh(self.chain_mesh)
-        self._run = make_ensemble_runner(cfg, c, chain_mesh=cmesh)
-        self.sweep_idx = 0
 
     @staticmethod
     def _resolve_chain_mesh(requested, cfg, n_chains) -> int:
@@ -233,7 +259,10 @@ class BetaScan:
     @property
     def us(self):
         if self._us is None:
-            self._us, self.betas, self.keys = self._run.unpack(self._st)
+            st = self._st
+            if self._rsts is not None:
+                st = (st[0][0], st[1], st[2])
+            self._us, self.betas, self.keys = self._run.unpack(st)
         return self._us
 
     @us.setter
@@ -244,8 +273,18 @@ class BetaScan:
     @property
     def _packed(self):
         if self._st is None:
-            self._st = self._run.pack((self._us, self.betas, self.keys))
+            st = self._run.pack((self._us, self.betas, self.keys))
+            if self._rsts is not None:
+                s, betas, keys = st
+                st = ((s, self._rsts), betas, keys)
+            self._st = st
         return self._st
+
+    def _adopt(self, st):
+        """Take ownership of ensemble state returned by a chunk run."""
+        self._st, self._us = st, None
+        if self._rsts is not None:
+            self._rsts = st[0][1]
 
     def sync(self) -> float:
         """Tunnel-safe device barrier (see Simulation.sync)."""
@@ -278,7 +317,7 @@ class BetaScan:
         st, _ = self._run.packed(
             self._packed, self.keys[0], self.sweep_idx, n, 0
         )
-        self._st, self._us = st, None
+        self._adopt(st)
         self.sweep_idx += n
         return self
 
@@ -289,7 +328,7 @@ class BetaScan:
         st, obs = self._run.packed(
             self._packed, self.keys[0], self.sweep_idx, n, measure_every
         )
-        self._st, self._us = st, None
+        self._adopt(st)
         self.sweep_idx += n
         obs = np.asarray(obs)  # [n_meas, C * n_obs]
         c = len(self.betas)
@@ -303,6 +342,15 @@ class BetaScan:
 
         from ..utils.checkpoint import FORMAT_VERSION, links_to_host
 
+        extras = {}
+        if self._rsts is not None:
+            # PRNGCL stream mode: the stacked per-chain generator states
+            # are part of the resumable state (QCDGPU dumps its PRNG
+            # buffers the same way)
+            extras = {
+                f"rngstream__{k}": np.asarray(v)
+                for k, v in self._rsts.items()
+            }
         np.savez_compressed(
             path,
             version=np.int64(FORMAT_VERSION),
@@ -314,6 +362,7 @@ class BetaScan:
             keys=np.asarray(self.keys, np.uint32),
             us_ri=links_to_host(self.us),
             sweep_idx=np.int64(self.sweep_idx),
+            **extras,
         )
 
     @classmethod
@@ -343,7 +392,19 @@ class BetaScan:
                       else jnp.complex64)
             us = links_from_host(z["us_ri"], cdtype)
             sweep_idx = int(z["sweep_idx"])
+            rng_stream = {
+                k[len("rngstream__"):]: z[k]
+                for k in z.files
+                if k.startswith("rngstream__")
+            } or None
         scan = cls(cfg, betas, chain_mesh=chain_mesh, _defer_start=True)
+        if scan._rsts is not None:
+            if rng_stream is None:
+                raise ValueError(
+                    "checkpoint has no PRNGCL stream state but the config "
+                    f"runs rng_mode={cfg.rng_mode!r}; cannot resume exactly"
+                )
+            scan._rsts = {k: jnp.asarray(v) for k, v in rng_stream.items()}
         scan.keys = keys
         scan.us = us
         scan.sweep_idx = sweep_idx
