@@ -19,7 +19,7 @@ from jax.sharding import PartitionSpec as P
 from ..config import SimConfig
 from ..ops import rng
 from ..ops.measure import make_measure_fn, measure_obs_names
-from ..ops.prng_streams import make_stream, stream_mode_name
+from ..ops.prng_streams import make_stream, stream_draw_fn, stream_mode_name
 from ..sim import cold_start, hot_start, make_sweep_fn, stream_hot_start
 
 
@@ -161,15 +161,18 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
     )
     if stream_gen is not None:
         # per-chain stream states, seeded on the same schedule as the
-        # per-chain threefry keys (cfg.seed + 1000 * chain)
-        chains = [
-            make_stream(stream_gen, cfg.seed + 1000 * i, cfg.dims)
-            for i in range(n_chains)
-        ]
-        run.stream_state0 = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[st for st, _ in chains]
-        )
-        run.stream_draw = chains[0][1]
+        # per-chain threefry keys (cfg.seed + 1000 * chain).  Exposed as
+        # a thunk so the checkpoint-load path never pays the C-fold
+        # host-side generator init it would immediately overwrite.
+        def make_stream_state0():
+            chains = [
+                make_stream(stream_gen, cfg.seed + 1000 * i, cfg.dims)[0]
+                for i in range(n_chains)
+            ]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *chains)
+
+        run.make_stream_state0 = make_stream_state0
+        run.stream_draw = stream_draw_fn(stream_gen)
     return run
 
 
@@ -201,10 +204,11 @@ class BetaScan:
 
             cmesh = make_chain_mesh(self.chain_mesh)
         self._run = make_ensemble_runner(cfg, c, chain_mesh=cmesh)
-        # PRNGCL stream mode: stacked per-chain generator states, owned
-        # here across pack/unpack boundaries (same scheme as
-        # Simulation._rst); None for the counter-based rng modes
-        self._rsts = getattr(self._run, "stream_state0", None)
+        # PRNGCL stream mode: _stream lazily builds the stacked per-chain
+        # generator states, owned here across pack/unpack boundaries
+        # (same scheme as Simulation); None for the counter-based modes
+        self._stream = getattr(self._run, "make_stream_state0", None)
+        self._rsts = None
         self.sweep_idx = 0
         # start states under jit (vmapped over chains): eager constructor
         # chains are UNIMPLEMENTED on some TPU runtimes (see Simulation)
@@ -219,10 +223,10 @@ class BetaScan:
             keys = [rng.make_base_key(cfg.seed + 1000 * i) for i in range(c)]
             self.keys = jnp.stack(keys)
             if cfg.start == "hot":
-                if self._rsts is not None:
+                if self._stream is not None:
                     us0, self._rsts = jax.jit(jax.vmap(
                         partial(stream_hot_start, cfg, self._run.stream_draw)
-                    ))(self._rsts)
+                    ))(self._streams_state)
                     self.us = us0
                 else:
                     self.us = jax.jit(
@@ -260,7 +264,7 @@ class BetaScan:
     def us(self):
         if self._us is None:
             st = self._st
-            if self._rsts is not None:
+            if self._stream is not None:
                 st = (st[0][0], st[1], st[2])
             self._us, self.betas, self.keys = self._run.unpack(st)
         return self._us
@@ -271,19 +275,27 @@ class BetaScan:
         self._st = None
 
     @property
+    def _streams_state(self):
+        """Live stacked per-chain stream states (lazy; see
+        Simulation._stream_state)."""
+        if self._rsts is None:
+            self._rsts = self._stream()
+        return self._rsts
+
+    @property
     def _packed(self):
         if self._st is None:
             st = self._run.pack((self._us, self.betas, self.keys))
-            if self._rsts is not None:
+            if self._stream is not None:
                 s, betas, keys = st
-                st = ((s, self._rsts), betas, keys)
+                st = ((s, self._streams_state), betas, keys)
             self._st = st
         return self._st
 
     def _adopt(self, st):
         """Take ownership of ensemble state returned by a chunk run."""
         self._st, self._us = st, None
-        if self._rsts is not None:
+        if self._stream is not None:
             self._rsts = st[0][1]
 
     def sync(self) -> float:
@@ -342,15 +354,14 @@ class BetaScan:
 
         from ..utils.checkpoint import FORMAT_VERSION, links_to_host
 
-        extras = {}
-        if self._rsts is not None:
-            # PRNGCL stream mode: the stacked per-chain generator states
-            # are part of the resumable state (QCDGPU dumps its PRNG
-            # buffers the same way)
-            extras = {
-                f"rngstream__{k}": np.asarray(v)
-                for k, v in self._rsts.items()
-            }
+        from ..utils.checkpoint import pack_rng_stream
+
+        # PRNGCL stream mode: the stacked per-chain generator states are
+        # part of the resumable state (QCDGPU dumps its PRNG buffers the
+        # same way)
+        extras = pack_rng_stream(
+            self._streams_state if self._stream is not None else None
+        )
         np.savez_compressed(
             path,
             version=np.int64(FORMAT_VERSION),
@@ -392,13 +403,11 @@ class BetaScan:
                       else jnp.complex64)
             us = links_from_host(z["us_ri"], cdtype)
             sweep_idx = int(z["sweep_idx"])
-            rng_stream = {
-                k[len("rngstream__"):]: z[k]
-                for k in z.files
-                if k.startswith("rngstream__")
-            } or None
+            from ..utils.checkpoint import unpack_rng_stream
+
+            rng_stream = unpack_rng_stream(z)
         scan = cls(cfg, betas, chain_mesh=chain_mesh, _defer_start=True)
-        if scan._rsts is not None:
+        if scan._stream is not None:
             if rng_stream is None:
                 raise ValueError(
                     "checkpoint has no PRNGCL stream state but the config "

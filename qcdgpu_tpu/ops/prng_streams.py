@@ -427,8 +427,15 @@ def make_stream(name: str, seed: int, dims):
     """Build the per-site stream for ``name``: (state0, draw).
 
     state0: pytree of device arrays (leading state-word axes over [*dims]).
-    draw(state, n) -> (uniforms [n, *dims] float32 in [0, 1), state').
+    draw(state, n) -> (uniforms [n, *dims] float32 in [0, 1], state').
     Both are jit-safe; draw must be called with static n.
+
+    Note the CLOSED upper edge: generators whose native output divides a
+    32-bit state by its modulus (xor128, xor7, parkmiller, mrg32k3a) can
+    round to exactly 1.0 in float32 (probability ~2^-25 per draw) — the
+    same rounding the native float64 value takes when narrowed to f32, so
+    bit parity with native is exact.  Exact 0.0 occurs for the 24-bit-grid
+    generators.  Samplers must clamp through open01().
     """
     draw = stream_draw_fn(name)
     dims = tuple(dims)
@@ -452,10 +459,12 @@ def make_stream(name: str, seed: int, dims):
 def open01(u):
     """Clamp draws into the open interval (0, 1) for the samplers.
 
-    The raw streams live on [0, 1) and several generators can emit exact
-    zeros; the Kennedy–Pendleton sampler needs log(u) finite (fastmath's
-    domain contract: positive normal float32 below 1).  2^-24 is the
-    uniform grid spacing, so the clamp moves at most one grid point.
+    The raw streams live on [0, 1] — exact zeros from the 24-bit-grid
+    generators, exact ones from float32 rounding of the modulus-division
+    generators (see make_stream) — while the Kennedy–Pendleton sampler
+    needs log(u) finite (fastmath's domain contract: positive normal
+    float32 below 1).  2^-24 is the uniform grid spacing, so the clamp
+    moves at most one grid point.
     """
     return jnp.clip(u, _INV24, np.float32(1.0 - 1.0 / (1 << 24)))
 

@@ -111,11 +111,20 @@ def site_uniforms(key2, site_idx, n, slot0=0, dtype=jnp.float32):
     return u[:n]
 
 
+def normals_from_uniforms(u):
+    """[2k, ...] uniforms in (0, 1) -> [2k, ...] standard normals.
+
+    Box–Muller with the pairing/ordering contract shared by every normal
+    consumer (threefry site_normals and the PRNGCL stream hot start in
+    sim.stream_hot_start) — keep them on this one transform so the two
+    hot-start paths stay distributionally in lockstep."""
+    r = jnp.sqrt(-2.0 * jnp.log(u[0::2]))
+    th = (2.0 * np.pi) * u[1::2]
+    return jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], axis=0)
+
+
 def site_normals(key2, site_idx, n, slot0=0, dtype=jnp.float32):
     """n standard normals per site via Box–Muller (for hot starts)."""
     m = 2 * ((n + 1) // 2)
     u = site_uniforms(key2, site_idx, m, slot0=slot0, dtype=dtype)
-    r = jnp.sqrt(-2.0 * jnp.log(u[0::2]))
-    th = (2.0 * np.pi) * u[1::2]
-    z = jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], axis=0)
-    return z[:n]
+    return normals_from_uniforms(u)[:n]

@@ -95,9 +95,7 @@ def stream_hot_start(cfg: SimConfig, draw, rng_state):
     for mu in range(NDIM):
         uu, rst = draw(rst, 2 * n * n)
         uu = open01(uu)  # Box–Muller log() needs u > 0
-        r = jnp.sqrt(-2.0 * jnp.log(uu[0::2]))
-        th = (2.0 * np.pi) * uu[1::2]
-        z = jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], axis=0)
+        z = rng.normals_from_uniforms(uu)
         re = z[: n * n].reshape((n, n) + tuple(cfg.dims))
         im = z[n * n :].reshape((n, n) + tuple(cfg.dims))
         links.append(sun.reunitarize((re + 1j * im).astype(cdtype)))
@@ -298,13 +296,18 @@ def make_chunk_runner(cfg: SimConfig):
     stream_gen = stream_mode_name(cfg.rng_mode)
     if stream_gen is not None:
         # stream mode: runner state is (u, rng_state); the Simulation
-        # driver owns the rng_state across pack/unpack boundaries
+        # driver owns the rng_state across pack/unpack boundaries.  The
+        # initial state is exposed as a thunk, not an array: building it
+        # eagerly would pin a second copy in HBM for the runner lifetime
+        # (ranmar at 32^4: ~400 MB) and the checkpoint-load path
+        # overwrites it without ever reading it.
         run = build_chunk_runner(
             cfg, sweep, lambda st: meas(st[0]), with_acc=cfg.track_acceptance
         )
-        run.stream_state0, run.stream_draw = make_stream(
+        run.make_stream_state0 = lambda: make_stream(
             stream_gen, cfg.seed, cfg.dims
-        )
+        )[0]
+        run.stream_draw = stream_draw_fn(stream_gen)
         return run
     return build_chunk_runner(
         cfg, sweep, meas, with_acc=cfg.track_acceptance
@@ -333,9 +336,11 @@ class Simulation:
         self._defect_jit = None
         self._u = None       # canonical complex link field (lazy)
         self._us = None      # engine-layout state (lazy)
-        # PRNGCL stream mode: the per-site generator state (None for
-        # counter-based threefry/hw, whose "state" is (seed, sweep_idx))
-        self._rst = getattr(self._run, "stream_state0", None)
+        # PRNGCL stream mode: _stream is the lazy state-0 builder (None
+        # for counter-based threefry/hw, whose "state" is (seed,
+        # sweep_idx)); _rst holds the live per-site generator state
+        self._stream = getattr(self._run, "make_stream_state0", None)
+        self._rst = None
         self.sweep_idx = 0
         self.obs_history: list[np.ndarray] = []
         # start states are built under jit: eager op-by-op dispatch of the
@@ -345,10 +350,10 @@ class Simulation:
         if init_u is not None:
             self.u = init_u
         elif cfg.start == "hot":
-            if self._rst is not None:
+            if self._stream is not None:
                 u0, self._rst = jax.jit(
                     partial(stream_hot_start, cfg, self._run.stream_draw)
-                )(self._rst)
+                )(self._stream_state)
                 self.u = u0
             else:
                 self.u = jax.jit(partial(hot_start, cfg))(self.base_key)
@@ -378,7 +383,7 @@ class Simulation:
     @property
     def u(self):
         if self._u is None:
-            st = self._us if self._rst is None else self._us[0]
+            st = self._us if self._stream is None else self._us[0]
             self._u = self._run.unpack(st)
         return self._u
 
@@ -388,18 +393,27 @@ class Simulation:
         self._us = None
 
     @property
+    def _stream_state(self):
+        """Live PRNGCL stream state; built lazily on first use so the
+        checkpoint-load path (which assigns the saved state) never pays
+        the host-side generator init."""
+        if self._rst is None:
+            self._rst = self._stream()
+        return self._rst
+
+    @property
     def _packed(self):
         if self._us is None:
             st = self._run.pack(self._u)
-            if self._rst is not None:
-                st = (st, self._rst)
+            if self._stream is not None:
+                st = (st, self._stream_state)
             self._us = st
         return self._us
 
     def _adopt(self, st):
         """Take ownership of engine state returned by a chunk run."""
         self._us, self._u = st, None
-        if self._rst is not None:
+        if self._stream is not None:
             self._rst = st[1]
 
     # -- simulation -------------------------------------------------------
@@ -538,8 +552,10 @@ class Simulation:
         from .utils.checkpoint import save_state
 
         rng_stream = None
-        if self._rst is not None:
-            rng_stream = {k: np.asarray(v) for k, v in self._rst.items()}
+        if self._stream is not None:
+            rng_stream = {
+                k: np.asarray(v) for k, v in self._stream_state.items()
+            }
         save_state(
             path, self.cfg, self.u, self.sweep_idx, self.obs_history,
             rng_stream=rng_stream,
@@ -551,7 +567,7 @@ class Simulation:
 
         cfg, u, sweep_idx, obs_history, rng_stream = load_state(path)
         sim = cls(cfg, init_u=u)
-        if sim._rst is not None:
+        if sim._stream is not None:
             if rng_stream is None:
                 raise ValueError(
                     "checkpoint has no PRNGCL stream state but the config "

@@ -23,6 +23,28 @@ from ..config import SimConfig
 
 FORMAT_VERSION = 1
 
+# npz key prefix for PRNGCL stream-state entries (rng_mode='prngcl:<gen>')
+RNG_STREAM_PREFIX = "rngstream__"
+
+
+def pack_rng_stream(rng_stream) -> dict:
+    """Stream-state dict -> prefixed npz entries ({} when None)."""
+    if rng_stream is None:
+        return {}
+    return {
+        f"{RNG_STREAM_PREFIX}{k}": np.asarray(v)
+        for k, v in rng_stream.items()
+    }
+
+
+def unpack_rng_stream(z) -> dict | None:
+    """Inverse of pack_rng_stream over an open npz file (None if absent)."""
+    return {
+        k[len(RNG_STREAM_PREFIX):]: z[k]
+        for k in z.files
+        if k.startswith(RNG_STREAM_PREFIX)
+    } or None
+
 
 def links_to_host(u) -> np.ndarray:
     """Device complex link field -> host float array [2(re/im), ...].
@@ -58,11 +80,7 @@ def save_state(path, cfg: SimConfig, u, sweep_idx: int, obs_history=None,
         if obs_history
         else np.zeros((0, len(obs_names(cfg))), np.float32)
     )
-    extras = {}
-    if rng_stream is not None:
-        extras = {
-            f"rngstream__{k}": np.asarray(v) for k, v in rng_stream.items()
-        }
+    extras = pack_rng_stream(rng_stream)
     np.savez_compressed(
         path,
         version=np.int64(FORMAT_VERSION),
@@ -90,10 +108,6 @@ def load_state(path):
         u = links_from_host(z["links_ri"], cdtype)
         sweep_idx = int(z["sweep_idx"])
         obs = z["obs"]
-        rng_stream = {
-            k[len("rngstream__"):]: z[k]
-            for k in z.files
-            if k.startswith("rngstream__")
-        } or None
+        rng_stream = unpack_rng_stream(z)
     history = [obs] if obs.size else []
     return cfg, u, sweep_idx, history, rng_stream

@@ -81,12 +81,19 @@ def test_stream_matches_native_rounded(name, seed):
 
 @pytest.mark.parametrize("name", ps.STREAM_GENERATORS)
 def test_stream_range_and_open01(name):
+    # raw draws live on the CLOSED [0, 1]: f32 rounding of the modulus
+    # division can emit exactly 1.0 (~2^-25 per draw; see make_stream),
+    # and the 24-bit-grid generators can emit exactly 0.0 — which is why
+    # every sampler consumes draws through open01()
     u = _stream_draws(name, 42, 64)
-    assert np.all(u >= 0.0) and np.all(u < 1.0)
+    assert np.all(u >= 0.0) and np.all(u <= 1.0)
     import jax.numpy as jnp
 
     v = np.asarray(ps.open01(jnp.asarray(u)))
     assert np.all(v > 0.0) and np.all(v < 1.0)
+    one = np.float32(np.uint32(0xFFFFFFFF)) * np.float32(2**-32)
+    assert one == 1.0  # the rounding case open01 must handle
+    assert np.asarray(ps.open01(jnp.float32(one))) < 1.0
 
 
 def test_sites_decorrelated():
