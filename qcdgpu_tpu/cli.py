@@ -55,6 +55,15 @@ def _parse_betas(s: str):
     return [float(x) for x in s.split(",")]
 
 
+def _parse_wloops(s):
+    """'1x2,2x2' -> ((1, 2), (2, 2))."""
+    pairs = []
+    for part in s.split(","):
+        r, _, t = part.lower().partition("x")
+        pairs.append((int(r), int(t)))
+    return tuple(pairs)
+
+
 def _add_run_args(p: argparse.ArgumentParser):
     p.add_argument("--config", help="TOML/JSON init file with run parameters")
     p.add_argument("--group", type=int, help="gauge group N (2 or 3)")
@@ -86,6 +95,10 @@ def _add_run_args(p: argparse.ArgumentParser):
     p.add_argument("--track-acceptance", action=argparse.BooleanOptionalAction,
                    dest="track_acceptance", default=None,
                    help="record the Metropolis acceptance rate per block")
+    p.add_argument("--wilson-loops", type=_parse_wloops, dest="wilson_loops",
+                   metavar="RxT,RxT,...",
+                   help="rectangular Wilson loop extents, e.g. 1x2,2x2 "
+                        "(adds one wloop_RxT observable column per pair)")
     p.add_argument("--mesh", type=_parse_mesh,
                    help="device mesh over X,Y,Z,T (e.g. 1,1,2,4)")
     p.add_argument("--engine", choices=["auto", "xla", "pallas"],
@@ -144,7 +157,7 @@ def _build_config(args) -> "SimConfig":
               "kp_trials", "start", "sweeps_therm", "sweeps", "meas_every",
               "reunit_every", "ckpt_every", "seed", "dtype", "mesh", "engine",
               "rng_mode", "meas_dtype", "get_fmunu", "fmunu_index1",
-              "fmunu_index2", "track_acceptance"):
+              "fmunu_index2", "track_acceptance", "wilson_loops"):
         v = getattr(args, k, None)
         if v is not None:
             d[k] = v
@@ -152,6 +165,8 @@ def _build_config(args) -> "SimConfig":
         d["dims"] = tuple(d["dims"])
     if "mesh" in d:
         d["mesh"] = tuple(d["mesh"])
+    if "wilson_loops" in d:  # init-file lists -> hashable tuples
+        d["wilson_loops"] = tuple(tuple(p) for p in d["wilson_loops"])
     return SimConfig(**d)
 
 

@@ -49,6 +49,11 @@ class SimConfig:
     # Metropolis acceptance-rate tracking (QCDGPU reports acceptance in its
     # results file); adds an "acc_rate" observable column.  XLA engine only.
     track_acceptance: bool = False
+    # Rectangular Wilson loops W(R, T) — R spatial, T temporal, averaged
+    # over sites and the three (i, t) planes; one "wloop_RxT" column per
+    # pair.  Extension beyond QCDGPU (which measures only the plaquette,
+    # action, and Polyakov loop); see ops/measure.py wilson_loop_means.
+    wilson_loops: Tuple[Tuple[int, int], ...] = ()
 
     # --- numerics --------------------------------------------------------
     seed: int = 0
@@ -123,6 +128,20 @@ class SimConfig:
                 raise ValueError(
                     f"fmunu index {a} out of range 0..{nm1} for SU({self.group})"
                 )
+        for p in self.wilson_loops:
+            if len(p) != 2:
+                raise ValueError(f"wilson_loops entries are (R, T) pairs, got {p}")
+            r, t = p
+            if not (1 <= r < min(self.dims[:3])):
+                raise ValueError(
+                    f"wilson loop R={r} must be in 1..{min(self.dims[:3]) - 1} "
+                    "(spatial extents; loops wrapping the torus are Polyakov-"
+                    "type correlators, not Wilson loops)"
+                )
+            if not (1 <= t < self.dims[3]):
+                raise ValueError(
+                    f"wilson loop T={t} must be in 1..{self.dims[3] - 1}"
+                )
         if self.track_acceptance and self.algorithm != "metropolis":
             raise ValueError("track_acceptance requires algorithm='metropolis'")
         if self.track_acceptance and self.engine == "pallas":
@@ -176,4 +195,7 @@ class SimConfig:
         d = dict(d)
         d["dims"] = tuple(d["dims"])
         d["mesh"] = tuple(d.get("mesh", (1, 1, 1, 1)))
+        d["wilson_loops"] = tuple(
+            tuple(p) for p in d.get("wilson_loops", ())
+        )
         return cls(**d)

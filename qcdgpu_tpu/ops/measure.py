@@ -95,6 +95,54 @@ def plaquette_field(u, mu, nu):
     return mul(a, dagger(b))
 
 
+# ---------------------------------------------------------------------------
+# rectangular Wilson loops W(R, T) — extension beyond QCDGPU, which measures
+# only the 1x1 loop (plaquette), action, and Polyakov loop.  Rectangular
+# loops are the standard static-quark-potential / string-tension observable
+# and cost a handful of roll-multiplies given the link field.
+# ---------------------------------------------------------------------------
+
+
+def wilson_loop_obs_names(pairs):
+    return tuple(f"wloop_{r}x{t}" for (r, t) in pairs)
+
+
+def cfg_wilson_pairs(cfg):
+    """The (R, T) extents requested by a SimConfig, as a tuple of tuples."""
+    if cfg is None:
+        return ()
+    return tuple(tuple(p) for p in getattr(cfg, "wilson_loops", ()) or ())
+
+
+def line_product(u_mu, mu, length):
+    """Path-ordered product of `length` consecutive links along mu:
+    L(x) = U_mu(x) U_mu(x+mu) ... U_mu(x+(length-1)mu)."""
+    acc = u_mu
+    for k in range(1, length):
+        acc = mul(acc, shift(u_mu, mu, +k))
+    return acc
+
+
+def wilson_loop_means(u, pairs):
+    """Volume- and plane-averaged rectangular Wilson loops, one float32 per
+    (R, T) pair: R along each spatial direction, T along the time axis,
+    (1/N) Re tr averaged over sites and the three (i, t) planes — so
+    W(1, 1) equals the temporal mean plaquette plq_t."""
+    n = u.shape[1]
+    out = []
+    for (r, t) in pairs:
+        pt = line_product(u[TIME_AXIS], TIME_AXIS, t)
+        acc = 0.0
+        for mu in range(TIME_AXIS):
+            pr = line_product(u[mu], mu, r)
+            top = shift(pt, mu, +r)          # temporal line at x + R mu
+            left = shift(pr, TIME_AXIS, +t)  # spatial line at x + T t_hat
+            w = retrace(mul(mul(pr, top), dagger(mul(pt, left))))
+            acc = acc + jnp.mean(w) / n
+        out.append(acc / TIME_AXIS)
+    return jnp.stack([jnp.float32(x) for x in out])
+
+
 def fmunu_means(u, indices):
     """Volume-averaged tr(T_a P_{mu,nu}) for each selected color a and plane.
 
@@ -229,7 +277,8 @@ def measure_obs_names(cfg=None):
     """Names of the observables produced by make_measure_fn(cfg)."""
     if cfg is None:
         return OBS_NAMES
-    return OBS_NAMES + fmunu_obs_names(cfg_fmunu_indices(cfg))
+    return (OBS_NAMES + fmunu_obs_names(cfg_fmunu_indices(cfg))
+            + wilson_loop_obs_names(cfg_wilson_pairs(cfg)))
 
 
 def obs_names(cfg=None):
@@ -250,13 +299,16 @@ def make_measure_fn(cfg):
     precision measurement sums; requires jax_enable_x64 — CPU/XLA engine).
     """
     indices = cfg_fmunu_indices(cfg)
+    pairs = cfg_wilson_pairs(cfg)
 
     def fn(u):
         if getattr(cfg, "meas_dtype", "same") == "double":
             u = u.astype(jnp.complex128)
-        base = measure_all(u)
-        if not indices:
-            return base
-        return jnp.concatenate([base, fmunu_means(u, indices)])
+        parts = [measure_all(u)]
+        if indices:
+            parts.append(fmunu_means(u, indices))
+        if pairs:
+            parts.append(wilson_loop_means(u, pairs))
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     return fn

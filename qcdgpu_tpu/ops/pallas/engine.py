@@ -23,7 +23,12 @@ import jax.numpy as jnp
 
 from ...config import SimConfig
 from .. import rng
-from ..measure import cfg_fmunu_indices, fmunu_means
+from ..measure import (
+    cfg_fmunu_indices,
+    cfg_wilson_pairs,
+    fmunu_means,
+    wilson_loop_means,
+)
 from . import measure as pmeasure
 from . import update as pupdate
 from .reunit import reunitarize_dir
@@ -177,9 +182,16 @@ def measure_all_split(us, dims, interpret=False, cfg=None):
         jnp.float32(action), jnp.float32(pre), jnp.float32(pim),
     ])
     indices = cfg_fmunu_indices(cfg) if cfg is not None else ()
-    if not indices:
+    pairs = cfg_wilson_pairs(cfg)
+    if not indices and not pairs:
         return base
-    return jnp.concatenate([base, fmunu_means(join_links(us, dims), indices)])
+    uj = join_links(us, dims)
+    parts = [base]
+    if indices:
+        parts.append(fmunu_means(uj, indices))
+    if pairs:
+        parts.append(wilson_loop_means(uj, pairs))
+    return jnp.concatenate(parts)
 
 
 def make_pallas_chunk_runner(cfg: SimConfig, interpret=False):
