@@ -117,3 +117,34 @@ def jackknife(x: np.ndarray, estimator=np.mean, bin_size: int = 1):
     )
     err = np.sqrt((nb - 1) / nb * np.sum((reps - reps.mean()) ** 2))
     return full, float(err)
+
+
+def creutz_ratio(wloops: dict, r: int, t: int):
+    """Creutz ratio chi(r, t) from rectangular Wilson-loop means.
+
+    chi(r, t) = -ln( W(r,t) W(r-1,t-1) / (W(r,t-1) W(r-1,t)) ) — the
+    standard string-tension estimator from the wilson_loops observables
+    (ops/measure.wilson_loop_means; companion to QCDGPU's plaquette set).
+
+    wloops maps "wloop_RxT" -> mean or (mean, err).  Returns (chi, err)
+    with the error linearly propagated (err NaN if any input lacks one).
+    W(0, .) and W(., 0) are 1 by definition (zero-area loop), so
+    chi(1, 1) = -ln W(1,1).
+    """
+
+    def get(rr, tt):
+        if rr == 0 or tt == 0:
+            return 1.0, 0.0
+        v = wloops[f"wloop_{rr}x{tt}"]
+        if isinstance(v, (tuple, list)):
+            return float(v[0]), float(v[1])
+        return float(v), float("nan")
+
+    vals = [get(r, t), get(r - 1, t - 1), get(r, t - 1), get(r - 1, t)]
+    means = [m for m, _ in vals]
+    if any(m <= 0 for m in means):
+        return float("nan"), float("nan")
+    chi = -(np.log(means[0]) + np.log(means[1])
+            - np.log(means[2]) - np.log(means[3]))
+    err = float(np.sqrt(sum((e / m) ** 2 for m, e in vals)))
+    return float(chi), err

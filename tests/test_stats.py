@@ -39,3 +39,23 @@ def test_scan_rows_include_polyakov_susceptibility(tmp_path):
     for r in rows:
         assert 0.0 <= r["poly_abs"] <= 1.0
         assert r["poly_sus"] >= 0.0
+
+
+def test_creutz_ratio():
+    from qcdgpu_tpu.utils.stats import creutz_ratio
+    import numpy as np
+
+    # known hardware values, SU(3) beta=6.0 (docs/validation); the lattice
+    # is isotropic so W(2,1) = W(1,2) statistically, but the keys differ
+    w = {"wloop_1x1": (0.59363, 0.0003), "wloop_1x2": (0.38384, 0.0005),
+         "wloop_2x1": (0.38384, 0.0005), "wloop_2x2": (0.19060, 0.0006)}
+    chi11, e11 = creutz_ratio(w, 1, 1)
+    assert abs(chi11 + np.log(0.59363)) < 1e-12 and e11 > 0
+    chi22, e22 = creutz_ratio(w, 2, 2)
+    # chi(2,2) = -ln(W22*W11/W12^2): literature ~0.35 at beta=6.0
+    ref = -np.log(0.19060 * 0.59363 / 0.38384**2)
+    assert abs(chi22 - ref) < 1e-12
+    assert 0.2 < chi22 < 0.5 and e22 < 0.02
+    # bare means (no errors) still give a value
+    chi, err = creutz_ratio({k: v[0] for k, v in w.items()}, 2, 2)
+    assert abs(chi - ref) < 1e-12 and np.isnan(err)
