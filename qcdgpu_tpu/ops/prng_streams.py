@@ -198,17 +198,50 @@ def _ranlux_step(st):
     }
 
 
+def _ranlux_steps_static(x, carry, m):
+    """m <= 24 subtract-with-borrow steps from the canonical rotation with
+    STATIC lag slots (step t: i24 at 23-t, j24 at (9-t) mod 24) and no
+    per-step rolls.  Returns the raw (unrotated) arrays; a full 24-step
+    block is a complete lag cycle, so the pointers land back at canonical
+    and no roll is needed — a partial block leaves them m slots down."""
+    for t in range(m):
+        i = (23 - t) % 24
+        j = (9 - t) % 24
+        d = x[j] - x[i] - carry
+        borrow = d < 0
+        d = d + jnp.where(borrow, _I32(1 << 24), _I32(0))
+        x = x.at[i].set(d)
+        carry = borrow.astype(_I32)
+    return x, carry
+
+
+def _ranlux_skip(st, p):
+    """Discard the p - 24 luxury values: whole 24-step blocks under one
+    fori_loop (static slots, zero rolls) plus an unrolled remainder with
+    one canonicalizing roll.  Versus p - 24 single-step iterations this
+    cuts loop-iteration count ~24x — the luxury skip dominated the
+    ranlux3 sweep cost (96 -> few ms/sweep at 8^4)."""
+    nblk, rem = divmod(p - 24, 24)
+
+    def block(_, s):
+        x, carry = _ranlux_steps_static(s["x"], s["carry"], 24)
+        return {**s, "x": x, "carry": carry}
+
+    if nblk:
+        st = jax.lax.fori_loop(0, nblk, block, st)
+    if rem:
+        x, carry = _ranlux_steps_static(st["x"], st["carry"], rem)
+        # restore canonical: the pointers moved rem slots down
+        st = {**st, "x": jnp.roll(x, rem, axis=0), "carry": carry}
+    return {**st, "nb": jnp.asarray(0, _I32)}
+
+
 def _ranlux_draw(state, n, p):
-    def skip_body(_, st):
-        return _ranlux_step(st)[1]
-
-    def do_skip(st):
-        st = jax.lax.fori_loop(0, p - 24, skip_body, st)
-        return {**st, "nb": jnp.asarray(0, _I32)}
-
     def emit(st):
         if p > 24:
-            st = jax.lax.cond(st["nb"] == 24, do_skip, lambda s: s, st)
+            st = jax.lax.cond(
+                st["nb"] == 24, lambda s: _ranlux_skip(s, p), lambda s: s, st
+            )
         else:  # lux 0: batch counter still wraps, nothing is discarded
             st = {**st, "nb": jnp.where(st["nb"] == 24, 0, st["nb"])}
         d, st = _ranlux_step(st)
