@@ -94,10 +94,10 @@ class SimConfig:
             raise ValueError(f"unknown start {self.start!r}")
         if self.engine not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown engine {self.engine!r}")
-        if self.rng_mode.startswith("prngcl:"):
-            from .ops.prng_streams import STREAM_GENERATORS
+        from .ops.prng_streams import STREAM_GENERATORS, stream_mode_name
 
-            gen = self.rng_mode.split(":", 1)[1]
+        gen = stream_mode_name(self.rng_mode)
+        if gen is not None:
             if gen not in STREAM_GENERATORS:
                 raise ValueError(
                     f"unknown PRNGCL generator {gen!r}; "

@@ -19,7 +19,11 @@ from jax.sharding import PartitionSpec as P
 from ..config import SimConfig
 from ..ops import rng
 from ..ops.measure import make_measure_fn, measure_obs_names
-from ..ops.prng_streams import make_stream, stream_draw_fn, stream_mode_name
+from ..ops.prng_streams import (
+    make_stream_state_host,
+    stream_draw_fn,
+    stream_mode_name,
+)
 from ..sim import cold_start, hot_start, make_sweep_fn, stream_hot_start
 
 
@@ -122,15 +126,30 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
         s, betas, keys = st
         return jax.vmap(chain_unpack)(s), betas, keys
 
+    # chain-axis vmap spec: per-chain state leaves map over axis 0.  In
+    # stream mode the 0-d state leaves (ranlux's luxury counter, ranmar's
+    # carry — identical across chains by construction, they advance purely
+    # with the draw count) stay UNBATCHED: a batched counter would batch
+    # the luxury-skip lax.cond predicate, lowering it to a select that
+    # executes the expensive skip branch on every single draw.
+    if stream_gen is None:
+        s_axes = 0
+        rst_axes = None
+    else:
+        sample = make_stream_state_host(stream_gen, cfg.seed, cfg.dims)
+        rst_axes = {k: (0 if np.ndim(v) else None) for k, v in sample.items()}
+        s_axes = (0, rst_axes)
+
     def sweep_chains(st, _base_key, sweep_idx):
         s, betas, keys = st
         s = jax.vmap(
-            lambda s1, b, k: chain_sweep(s1, k, sweep_idx, beta=b)
+            lambda s1, b, k: chain_sweep(s1, k, sweep_idx, beta=b),
+            in_axes=(s_axes, 0, 0), out_axes=s_axes,
         )(s, betas, keys)
         return s, betas, keys
 
     def measure_chains(st):
-        return jax.vmap(chain_measure)(st[0]).reshape(-1)
+        return jax.vmap(chain_measure, in_axes=(s_axes,))(st[0]).reshape(-1)
 
     if chain_mesh is None:
         sweep, measure_state = sweep_chains, measure_chains
@@ -140,8 +159,16 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
         # kernels never see the mesh.  Measurement rows come out chain-
         # major ([c_local * n_obs] per shard, concatenated along "c"),
         # matching the unsharded flattening exactly.
+        def chain_specs(st):
+            # chain-blocked over "c" for stacked leaves; the stream mode's
+            # shared 0-d counters are replicated (every shard advances
+            # them identically)
+            return jax.tree.map(
+                lambda x: P("c") if jnp.ndim(x) else P(), st
+            )
+
         def sweep(st, base_key, sweep_idx):
-            specs = jax.tree.map(lambda _: P("c"), st)
+            specs = chain_specs(st)
             return jax.shard_map(
                 sweep_chains, mesh=chain_mesh,
                 in_specs=(specs, P(None), P()), out_specs=specs,
@@ -149,7 +176,7 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
             )(st, base_key, sweep_idx)
 
         def measure_state(st):
-            specs = jax.tree.map(lambda _: P("c"), st)
+            specs = chain_specs(st)
             return jax.shard_map(
                 measure_chains, mesh=chain_mesh,
                 in_specs=(specs,), out_specs=P("c"), check_vma=False,
@@ -164,15 +191,25 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
         # per-chain threefry keys (cfg.seed + 1000 * chain).  Exposed as
         # a thunk so the checkpoint-load path never pays the C-fold
         # host-side generator init it would immediately overwrite.
+        # Stacking happens HOST-side (numpy) — eager jnp.stack on device
+        # arrays is UNIMPLEMENTED on some TPU runtimes (CLAUDE.md) — and
+        # 0-d counter leaves stay shared/unbatched (see s_axes above).
         def make_stream_state0():
             chains = [
-                make_stream(stream_gen, cfg.seed + 1000 * i, cfg.dims)[0]
+                make_stream_state_host(stream_gen, cfg.seed + 1000 * i,
+                                       cfg.dims)
                 for i in range(n_chains)
             ]
-            return jax.tree.map(lambda *xs: jnp.stack(xs), *chains)
+            return {
+                k: jnp.asarray(
+                    np.stack([c[k] for c in chains]) if np.ndim(v0) else v0
+                )
+                for k, v0 in chains[0].items()
+            }
 
         run.make_stream_state0 = make_stream_state0
         run.stream_draw = stream_draw_fn(stream_gen)
+        run.stream_axes = rst_axes
     return run
 
 
@@ -203,6 +240,7 @@ class BetaScan:
             from ..parallel.mesh import make_chain_mesh
 
             cmesh = make_chain_mesh(self.chain_mesh)
+        self._cmesh = cmesh
         self._run = make_ensemble_runner(cfg, c, chain_mesh=cmesh)
         # PRNGCL stream mode: _stream lazily builds the stacked per-chain
         # generator states, owned here across pack/unpack boundaries
@@ -224,8 +262,10 @@ class BetaScan:
             self.keys = jnp.stack(keys)
             if cfg.start == "hot":
                 if self._stream is not None:
+                    ax = self._run.stream_axes
                     us0, self._rsts = jax.jit(jax.vmap(
-                        partial(stream_hot_start, cfg, self._run.stream_draw)
+                        partial(stream_hot_start, cfg, self._run.stream_draw),
+                        in_axes=(ax,), out_axes=(0, ax),
                     ))(self._streams_state)
                     self.us = us0
                 else:
@@ -287,8 +327,22 @@ class BetaScan:
         if self._st is None:
             st = self._run.pack((self._us, self.betas, self.keys))
             if self._stream is not None:
+                rst = self._streams_state
+                if self._cmesh is not None:
+                    # place the stream state on the chain mesh like pack()
+                    # pre-places links/betas/keys: stacked leaves blocked
+                    # over "c", shared 0-d counters replicated
+                    from jax.sharding import NamedSharding
+
+                    rst = jax.device_put(rst, {
+                        k: NamedSharding(
+                            self._cmesh, P("c") if jnp.ndim(v) else P()
+                        )
+                        for k, v in rst.items()
+                    })
+                    self._rsts = rst
                 s, betas, keys = st
-                st = ((s, self._streams_state), betas, keys)
+                st = ((s, rst), betas, keys)
             self._st = st
         return self._st
 

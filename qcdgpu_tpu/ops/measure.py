@@ -127,14 +127,31 @@ def wilson_loop_means(u, pairs):
     """Volume- and plane-averaged rectangular Wilson loops, one float32 per
     (R, T) pair: R along each spatial direction, T along the time axis,
     (1/N) Re tr averaged over sites and the three (i, t) planes — so
-    W(1, 1) equals the temporal mean plaquette plq_t."""
+    W(1, 1) equals the temporal mean plaquette plq_t.
+
+    Line products are memoized per (direction, length) and built by
+    extending the next-shorter one, so a pair set like {(1,2),(2,2),(3,2)}
+    shares the temporal line and each extra extent costs exactly one more
+    full-lattice matrix multiply per direction."""
     n = u.shape[1]
+    lines = {}
+
+    def line(mu, length):
+        if (mu, length) not in lines:
+            if length == 1:
+                lines[(mu, 1)] = u[mu]
+            else:
+                lines[(mu, length)] = mul(
+                    line(mu, length - 1), shift(u[mu], mu, +(length - 1))
+                )
+        return lines[(mu, length)]
+
     out = []
     for (r, t) in pairs:
-        pt = line_product(u[TIME_AXIS], TIME_AXIS, t)
+        pt = line(TIME_AXIS, t)
         acc = 0.0
         for mu in range(TIME_AXIS):
-            pr = line_product(u[mu], mu, r)
+            pr = line(mu, r)
             top = shift(pt, mu, +r)          # temporal line at x + R mu
             left = shift(pr, TIME_AXIS, +t)  # spatial line at x + T t_hat
             w = retrace(mul(mul(pr, top), dagger(mul(pt, left))))

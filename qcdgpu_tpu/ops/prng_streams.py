@@ -96,10 +96,7 @@ def _xor128_init(seed, dims):
     z = np.full_like(x, 521288629, np.uint32)
     w = np.uint32(88675123) + lo * np.uint32(2654435761)
     x = np.where((x | y | z | w) == 0, np.uint32(1), x)
-    return {
-        "x": jnp.asarray(x), "y": jnp.asarray(y),
-        "z": jnp.asarray(z), "w": jnp.asarray(w),
-    }
+    return {"x": x, "y": y, "z": z, "w": w}
 
 
 def _xor128_step(st):
@@ -131,7 +128,7 @@ def _xor7_init(seed, dims):
     # lag accesses compile to static slices — a traced k turns every
     # access into a gather and makes XLA compilation of the unrolled
     # draw loop pathologically slow
-    return {"x": jnp.asarray(np.stack(xs))}
+    return {"x": np.stack(xs)}
 
 
 def _xor7_step(st):
@@ -179,9 +176,9 @@ def _ranlux_init(seed, dims, lux):
     # position) and each step rolls by one.  Static slices instead of
     # traced-index gathers: see _xor7_init.
     return {
-        "x": jnp.asarray(x),
-        "carry": jnp.asarray((x[23] == 0).astype(np.int32)),
-        "nb": jnp.asarray(0, _I32),  # draws since the last luxury skip
+        "x": x,
+        "carry": (x[23] == 0).astype(np.int32),
+        "nb": np.int32(0),  # draws since the last luxury skip
     }
 
 
@@ -285,8 +282,8 @@ def _ranmar_init(seed, dims):
         # 64 slots apart, i97 pinned to slot 96 (j97 to slot 32 — the
         # seeding position) with a roll per step.  The carry c is
         # site-independent, so it is one scalar, not a per-site array.
-        "u": jnp.asarray(u.reshape(shape), _F32),
-        "c": jnp.asarray(362436.0 / 16777216.0, _F32),
+        "u": u.reshape(shape).astype(np.float32),
+        "c": np.float32(362436.0 / 16777216.0),
     }
 
 
@@ -363,8 +360,8 @@ def _mrg_init(seed, dims):
         # native seeding: 1 + t % (uint64)(m - 2.0)
         words.append((np.uint64(1) + t % np.uint64(m - 2)).astype(np.uint32))
     return {
-        "s1": jnp.asarray(np.stack(words[:3])),  # [3, *dims]: s10, s11, s12
-        "s2": jnp.asarray(np.stack(words[3:])),
+        "s1": np.stack(words[:3]),  # [3, *dims]: s10, s11, s12
+        "s2": np.stack(words[3:]),
     }
 
 
@@ -404,7 +401,7 @@ _PM_NORM = np.float32(1.0 / 2147483647.0)
 
 def _parkmiller_init(seed, dims):
     s = (site_seeds(seed, dims) % np.uint64(2147483647)).astype(np.int32)
-    return {"s": jnp.asarray(np.where(s == 0, np.int32(1), s))}
+    return {"s": np.where(s == 0, np.int32(1), s)}
 
 
 def _parkmiller_step(st):
@@ -426,7 +423,7 @@ def _parkmiller_draw(state, n):
 
 def _constant_init(seed, dims, value=0.5):
     del seed
-    return {"v": jnp.full(tuple(dims), value, _F32)}
+    return {"v": np.full(tuple(dims), value, np.float32)}
 
 
 def _constant_draw(state, n):
@@ -456,6 +453,32 @@ def stream_draw_fn(name: str):
     }[name]
 
 
+def make_stream_state_host(name: str, seed: int, dims) -> dict:
+    """The initial per-site stream state as HOST numpy arrays.
+
+    Kept host-side so callers can freely reshape/stack (the ensemble
+    stacks one state per chain) before a single device transfer — eager
+    jnp ops on device arrays are UNIMPLEMENTED on some TPU runtimes
+    (CLAUDE.md).  Array leaves carry per-site data; 0-d leaves (ranlux's
+    luxury counter nb, ranmar's carry c) are site- AND seed-independent:
+    they advance purely with the draw count, a fact the ensemble exploits
+    by sharing them unbatched across chains.
+    """
+    if name not in STREAM_GENERATORS:
+        raise ValueError(f"unknown generator {name!r}; have {STREAM_GENERATORS}")
+    dims = tuple(dims)
+    if name.startswith("ranlux"):
+        return _ranlux_init(seed, dims, int(name[-1]))
+    return {
+        "ranmar": _ranmar_init,
+        "xor128": _xor128_init,
+        "xor7": _xor7_init,
+        "mrg32k3a": _mrg_init,
+        "parkmiller": _parkmiller_init,
+        "constant": _constant_init,
+    }[name](seed, dims)
+
+
 def make_stream(name: str, seed: int, dims):
     """Build the per-site stream for ``name``: (state0, draw).
 
@@ -470,23 +493,8 @@ def make_stream(name: str, seed: int, dims):
     bit parity with native is exact.  Exact 0.0 occurs for the 24-bit-grid
     generators.  Samplers must clamp through open01().
     """
-    draw = stream_draw_fn(name)
-    dims = tuple(dims)
-    if name.startswith("ranlux"):
-        state0 = _ranlux_init(seed, dims, int(name[-1]))
-    elif name == "ranmar":
-        state0 = _ranmar_init(seed, dims)
-    elif name == "xor128":
-        state0 = _xor128_init(seed, dims)
-    elif name == "xor7":
-        state0 = _xor7_init(seed, dims)
-    elif name == "mrg32k3a":
-        state0 = _mrg_init(seed, dims)
-    elif name == "parkmiller":
-        state0 = _parkmiller_init(seed, dims)
-    else:
-        state0 = _constant_init(seed, dims)
-    return state0, draw
+    host = make_stream_state_host(name, seed, dims)
+    return {k: jnp.asarray(v) for k, v in host.items()}, stream_draw_fn(name)
 
 
 def open01(u):

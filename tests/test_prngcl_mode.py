@@ -109,18 +109,23 @@ def test_sharded_bit_identical():
     np.testing.assert_allclose(obs_ref, obs_sh, atol=1e-5)
 
 
-def test_scan_chain_matches_simulation():
+@pytest.mark.parametrize("gen", ["xor128", "ranlux1", "ranmar"])
+def test_scan_chain_matches_simulation(gen):
     """Each β-scan chain in stream mode is bit-identical to a standalone
     Simulation with the same per-chain seed schedule (seed + 1000*i) —
-    the same contract the threefry scan pins in test_checkpoint_cli."""
+    the same contract the threefry scan pins in test_checkpoint_cli.
+    ranlux1/ranmar additionally exercise the shared 0-d counter leaves
+    (kept unbatched under the chain vmap so the luxury-skip cond keeps an
+    unbatched predicate)."""
     from qcdgpu_tpu.models.ensemble import BetaScan
 
     betas = [2.3, 2.45]
-    scan = BetaScan(SimConfig(**CFG), betas=betas)
+    cfg = SimConfig(**{**CFG, "rng_mode": f"prngcl:{gen}"})
+    scan = BetaScan(cfg, betas=betas)
     obs = scan.run(4, measure_every=2)  # [C, n_meas, n_obs]
 
     for i, b in enumerate(betas):
-        cfg_i = SimConfig(**{**CFG, "beta": b, "seed": CFG["seed"] + 1000 * i})
+        cfg_i = cfg.replace(beta=b, seed=CFG["seed"] + 1000 * i)
         sim = Simulation(cfg_i)
         obs_i = sim.run(4, measure_every=2)
         # links bit-exact; observables only up to the vmapped reduction
