@@ -135,6 +135,21 @@ def test_scan_chain_matches_simulation(gen):
                                       np.asarray(sim.u))
 
 
+def test_scan_hot_start_matches_simulation():
+    """Hot starts in stream-mode scans draw from the per-chain streams
+    through the vmapped stream_hot_start (shared-counter axes): each
+    chain's start state must equal the standalone Simulation's."""
+    from qcdgpu_tpu.models.ensemble import BetaScan
+
+    cfg = SimConfig(**{**CFG, "start": "hot", "rng_mode": "prngcl:ranmar"})
+    scan = BetaScan(cfg, betas=[2.3, 2.45])
+    for i in range(2):
+        sim = Simulation(cfg.replace(beta=[2.3, 2.45][i],
+                                     seed=CFG["seed"] + 1000 * i))
+        np.testing.assert_array_equal(np.asarray(scan.us[i]),
+                                      np.asarray(sim.u))
+
+
 def test_scan_checkpoint_resume_bit_exact(tmp_path):
     from qcdgpu_tpu.models.ensemble import BetaScan
 
