@@ -124,10 +124,30 @@ def check_rng(quick=False):
             err = np.sqrt((1.0 / (2 * k + 1) - 1.0 / (k + 1) ** 2) / n)
             sig = max(sig, abs(float(np.mean(u ** k)) - 1.0 / (k + 1)) / err)
         worst[name] = round(sig, 2)
+    # device streams (rng_mode='prngcl:<gen>'): bit parity vs native —
+    # any single-bit state error diverges the stream, so a short window
+    # per generator is a strong exactness check
+    streams_ok = None
+    if prngcl.available():
+        import jax
+
+        from .ops import prng_streams as ps
+
+        streams_ok = True
+        dims = (2, 2, 2, 2)
+        for g in ("ranlux3", "xor128", "mrg32k3a"):
+            state, draw = ps.make_stream(g, 17, dims)
+            u_dev, _ = jax.jit(lambda st, d=draw: d(st, 96))(state)
+            ref = prngcl.fill(g, int(ps.site_seeds(17, dims).ravel()[0]), 96)
+            streams_ok &= bool(np.allclose(
+                np.asarray(u_dev)[:, 0, 0, 0, 0].astype(np.float32),
+                ref.astype(np.float32), atol=3e-7, rtol=0,
+            ))
     return {
         "name": "RNG parity (uniform moments, threefry vs reference family)",
-        "measured": worst, "expected": "max |sigma| < 6 per generator",
-        "pass": bool(max(worst.values()) < 6.0),
+        "measured": {**worst, "device_streams_bit_match": streams_ok},
+        "expected": "max |sigma| < 6 per generator; device streams match",
+        "pass": bool(max(worst.values()) < 6.0) and streams_ok is not False,
     }
 
 
