@@ -50,7 +50,34 @@ def build_record(cfg: SimConfig, analysis: dict, timings: dict | None = None,
             name: np.asarray(series)[:, k].tolist()
             for k, name in enumerate(names[: np.asarray(series).shape[1]])
         }
+    derived = _creutz_ratios(rec["results"])
+    if derived:
+        rec["derived"] = derived
     return rec
+
+
+def _creutz_ratios(results: dict) -> dict:
+    """chi(r, t) for every extent whose four Wilson loops were measured
+    (wilson_loops config) — the string-tension estimators, derived once
+    here so both the text and JSON records carry them."""
+    from .stats import creutz_ratio
+
+    loops = {
+        name: (st["mean"], st.get("err", float("nan")))
+        for name, st in results.items()
+        if name.startswith("wloop_") and isinstance(st, dict) and "mean" in st
+    }
+
+    def have(rr, tt):
+        return rr == 0 or tt == 0 or f"wloop_{rr}x{tt}" in loops
+
+    out = {}
+    for name in loops:
+        r, t = (int(v) for v in name[len("wloop_"):].split("x"))
+        if have(r - 1, t - 1) and have(r, t - 1) and have(r - 1, t):
+            chi, err = creutz_ratio(loops, r, t)
+            out[f"chi_{r}x{t}"] = {"mean": chi, "err": err}
+    return out
 
 
 def write_json(path: str, record: dict):
@@ -75,6 +102,13 @@ def format_text(record: dict) -> str:
                 f"  {name:8s} = {st['mean']:+.8f} +/- {st.get('err', float('nan')):.2e}"
                 f"   (naive {st.get('err_naive', float('nan')):.2e},"
                 f" tau_int {st.get('tau_int', float('nan')):.2f}, n {st.get('n', 0)})"
+            )
+    if record.get("derived"):
+        lines.append("")
+        lines.append("[derived]  (Creutz ratios chi(R,T) from the Wilson loops)")
+        for name, st in record["derived"].items():
+            lines.append(
+                f"  {name:8s} = {st['mean']:+.6f} +/- {st.get('err', float('nan')):.2e}"
             )
     if record.get("timings"):
         lines.append("")
