@@ -59,3 +59,22 @@ def test_creutz_ratio():
     # bare means (no errors) still give a value
     chi, err = creutz_ratio({k: v[0] for k, v in w.items()}, 2, 2)
     assert abs(chi - ref) < 1e-12 and np.isnan(err)
+
+
+def test_report_derived_creutz_section():
+    from qcdgpu_tpu.utils.report import _creutz_ratios
+
+    res = {
+        "plq": {"mean": 0.6, "err": 1e-4},
+        "wloop_1x1": {"mean": 0.59363, "err": 3e-4},
+        "wloop_1x2": {"mean": 0.38384, "err": 5e-4},
+        "wloop_2x1": {"mean": 0.38384, "err": 5e-4},
+        "wloop_2x2": {"mean": 0.19060, "err": 6e-4},
+        # 3x3 present but 2x3/3x2 missing -> chi_3x3 must NOT appear
+        "wloop_3x3": {"mean": 0.04683, "err": 7e-5},
+    }
+    d = _creutz_ratios(res)
+    assert set(d) == {"chi_1x1", "chi_1x2", "chi_2x1", "chi_2x2"}
+    assert all("mean" in v and "err" in v for v in d.values())
+    assert abs(d["chi_1x1"]["mean"] - 0.5216) < 1e-3
+    assert _creutz_ratios({"plq": {"mean": 0.6}}) == {}
