@@ -26,7 +26,11 @@ N_DRAW = 200  # > 8 luxury batches of 24, and wraps every lag pointer
 SEEDS = (0, 1, 987654321)
 
 EXACT = (
-    "ranlux0", "ranlux3", "ranlux4", "ranmar", "xor128", "xor7", "constant",
+    # all five luxury levels: their skips exercise different block/remainder
+    # splits of _ranlux_skip (p-24 = 0, 24=1x24+0, 73=3x24+1, 199=8x24+7,
+    # 365=15x24+5)
+    "ranlux0", "ranlux1", "ranlux2", "ranlux3", "ranlux4",
+    "ranmar", "xor128", "xor7", "constant",
 )
 ROUNDED = ("parkmiller", "mrg32k3a")
 
