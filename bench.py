@@ -76,6 +76,33 @@ def _run(cfg):
     return dt, float(sim.measure()["plq"])
 
 
+_RETRY_ENV = "QCDGPU_BENCH_RETRY"
+_MAX_RETRIES = 3
+
+
+def _transient_backend_error(e) -> bool:
+    msg = repr(e)
+    return any(s in msg for s in
+               ("UNAVAILABLE", "Unable to initialize backend",
+                "DEADLINE_EXCEEDED", "failed to connect"))
+
+
+def _retry_after_outage(e):
+    """The tunneled TPU backend occasionally drops; a failed init is
+    cached for the process lifetime, so retry by re-exec (bounded)."""
+    tries = int(os.environ.get(_RETRY_ENV, "0"))
+    if tries >= _MAX_RETRIES:
+        print(f"# backend unavailable after {tries} retries: {e!r}",
+              file=sys.stderr)
+        return
+    print(f"# transient backend error ({e!r}); retry {tries + 1}/"
+          f"{_MAX_RETRIES} in 60 s", file=sys.stderr)
+    time.sleep(60)
+    env = dict(os.environ, **{_RETRY_ENV: str(tries + 1)})
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)], env)
+
+
 def main():
     from qcdgpu_tpu import SimConfig
     from qcdgpu_tpu.utils.cache import enable_persistent_cache
@@ -102,6 +129,9 @@ def main():
     try:
         dt, plq = _run(cfg)
     except Exception as e:
+        if _transient_backend_error(e):
+            _retry_after_outage(e)  # re-execs (bounded); only returns if spent
+            raise
         if n_chips == 1:
             raise
         # never let an experimental multi-chip path cost the benchmark
