@@ -91,6 +91,23 @@ def test_metropolis_with_acceptance():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_scan_chain_mesh_bit_identical():
+    """Replica-sharded stream scans == vmap scans chain-for-chain: the
+    chain mesh blocks the stacked stream state over "c" and replicates
+    the shared 0-d counters (chain_specs + the _packed pre-placement)."""
+    from qcdgpu_tpu.models.ensemble import BetaScan
+
+    betas = [2.3, 2.35, 2.4, 2.45]
+    cfg = SimConfig(**{**CFG, "rng_mode": "prngcl:ranlux1"})
+    vm = BetaScan(cfg, betas=betas, chain_mesh=1)
+    obs_vm = vm.run(4, measure_every=2)
+    sh = BetaScan(cfg, betas=betas, chain_mesh=4)
+    obs_sh = sh.run(4, measure_every=2)
+    np.testing.assert_array_equal(np.asarray(vm.us), np.asarray(sh.us))
+    np.testing.assert_allclose(obs_vm, obs_sh, rtol=0, atol=2e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 def test_sharded_bit_identical():
     """Per-site streams depend only on their own state, so domain
     decomposition cannot change any draw: sharded == unsharded exactly."""
