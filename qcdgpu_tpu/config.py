@@ -104,11 +104,22 @@ class SimConfig:
                     f"have {STREAM_GENERATORS}"
                 )
             if self.engine == "pallas":
-                raise ValueError(
-                    "rng_mode='prngcl:<gen>' carries per-site generator "
-                    "state through the sweep — an XLA-engine feature "
-                    "(engine='xla' or 'auto')"
-                )
+                from .ops.prng_streams import PALLAS_STREAM_GENERATORS
+
+                if gen not in PALLAS_STREAM_GENERATORS:
+                    raise ValueError(
+                        f"generator {gen!r} carries a draw-count counter "
+                        "(luxury skip / slow carry) that the fused kernels "
+                        "cannot express — use engine='xla'/'auto', or one "
+                        f"of {PALLAS_STREAM_GENERATORS} on the Pallas engine"
+                    )
+                for m in self.mesh:
+                    if m != 1:
+                        raise ValueError(
+                            "PRNGCL streams on the sharded Pallas engine "
+                            "are not supported (lattice meshes fall back "
+                            "to the XLA engine with engine='auto')"
+                        )
         elif self.rng_mode not in ("threefry", "hw"):
             raise ValueError(f"unknown rng_mode {self.rng_mode!r}")
         if self.meas_dtype not in ("same", "double"):

@@ -82,7 +82,10 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
 
     n_obs = len(measure_obs_names(cfg))
     stream_gen = stream_mode_name(cfg.rng_mode)
-    if resolve_engine(cfg) == "pallas":
+    # stream mode always takes the XLA chain path here: the in-kernel
+    # Pallas streams (single-chain engine) are not threaded through the
+    # per-chain vmap below
+    if stream_gen is None and resolve_engine(cfg) == "pallas":
         from ..ops.pallas import engine as peng
 
         dims = tuple(cfg.dims)

@@ -72,6 +72,38 @@ def split_links(u):
     return tuple(out)
 
 
+def split_site_field(v, dims):
+    """Per-site field [..., X, Y, Z, T] -> (even, odd) [..., X, Y, Z*T/2].
+
+    Same T-slot packing rule as split_links (slot t//2; parity p holds the
+    t values with (p + x + y + z + t) even), for fields with no matrix
+    axes — e.g. the PRNGCL per-site stream-state words."""
+    x, y, z, t = dims
+    sig = _sigma(dims)  # [X, Y, Z, 1]
+    even_slots = v[..., 0::2]
+    odd_slots = v[..., 1::2]
+    out = []
+    for p in range(2):
+        take_even = (sig + p) % 2 == 0
+        pk = jnp.where(take_even, even_slots, odd_slots)
+        out.append(pk.reshape(v.shape[:-4] + (x, y, z * (t // 2))))
+    return tuple(out)
+
+
+def join_site_field(pair, dims):
+    """Inverse of split_site_field."""
+    x, y, z, t = dims
+    t2 = t // 2
+    sig = _sigma(dims)
+    a = pair[0].reshape(pair[0].shape[:-3] + (x, y, z, t2))
+    b = pair[1].reshape(pair[1].shape[:-3] + (x, y, z, t2))
+    even = jnp.where(sig == 0, a, b)
+    odd = jnp.where(sig == 0, b, a)
+    return jnp.stack([even, odd], axis=-1).reshape(
+        pair[0].shape[:-3] + (x, y, z, t)
+    )
+
+
 def _row2(m2):
     """Reconstruct SU(3) row 2 = conj(row0 x row1) on complex [2,3,...]."""
     r0, r1 = m2[0], m2[1]
@@ -122,13 +154,38 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False):
 
     Stage order and RNG stage ids exactly mirror sim.make_sweep_fn so the
     two engines draw the same randomness.
+
+    With rng_mode='prngcl:<gen>' (counter-free generators only) the sweep
+    state is (us, (state_even, state_odd)): each update stage's kernel
+    advances the ACTIVE parity's per-site streams in-kernel and writes the
+    state back alongside the links.  Own randomness provenance: the same
+    per-site native streams as the XLA stream mode, but consumed only on
+    active-parity stages (the XLA dense layout draws for every site and
+    masks half away) — like rng_mode='hw', not bit-compatible across
+    engines; exactness guarantees (chunking invariance, resume) hold
+    per engine.
     """
+    from ..prng_streams import stream_mode_name
+
     dims = tuple(cfg.dims)
     kinds = [cfg.algorithm] + ["overrelax"] * cfg.n_or
+    stream_gen = stream_mode_name(cfg.rng_mode)
     kw = dict(
         k_trials=cfg.kp_trials, n_hit=cfg.n_hit, metro_delta=cfg.metro_delta,
         rng_mode=cfg.rng_mode, interpret=interpret,
     )
+
+    def finish(us, sweep_idx):
+        if cfg.reunit_every > 0:
+            def do_reunit(us):
+                return tuple(
+                    reunitarize_dir(s, dims, interpret=interpret) for s in us
+                )
+            us = jax.lax.cond(
+                (sweep_idx % cfg.reunit_every) == (cfg.reunit_every - 1),
+                do_reunit, lambda x: x, us,
+            )
+        return us
 
     def sweep(us, base_key, sweep_idx, beta=None):
         # beta=None uses the static cfg.beta; a traced scalar supports the
@@ -145,18 +202,36 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False):
                     k = 2 * mu + parity
                     us = us[:k] + (new,) + us[k + 1:]
                     stage_id += 1
-        if cfg.reunit_every > 0:
-            def do_reunit(us):
-                return tuple(
-                    reunitarize_dir(s, dims, interpret=interpret) for s in us
-                )
-            us = jax.lax.cond(
-                (sweep_idx % cfg.reunit_every) == (cfg.reunit_every - 1),
-                do_reunit, lambda x: x, us,
-            )
-        return us
+        return finish(us, sweep_idx)
 
-    return sweep
+    if stream_gen is None:
+        return sweep
+
+    def stream_sweep(state, base_key, sweep_idx, beta=None):
+        us, rst = state  # rst: {"words_e": ..., "words_o": ...}
+        b = cfg.beta if beta is None else beta
+        stage_id = 0
+        for kind in kinds:
+            for parity in (0, 1):
+                pkey = "words_e" if parity == 0 else "words_o"
+                for mu in range(NDIM):
+                    key2 = rng.stage_key(base_key, sweep_idx, stage_id)
+                    if kind == "overrelax":  # zero RNG: links-only kernel
+                        new = pupdate.stage_update(
+                            us, mu, parity, kind, b, key2, dims, **kw
+                        )
+                    else:
+                        new, new_rst = pupdate.stage_update(
+                            us, mu, parity, kind, b, key2, dims,
+                            stream_state=rst[pkey], **kw
+                        )
+                        rst = {**rst, pkey: new_rst}
+                    k = 2 * mu + parity
+                    us = us[:k] + (new,) + us[k + 1:]
+                    stage_id += 1
+        return finish(us, sweep_idx), rst
+
+    return stream_sweep
 
 
 def measure_all_split(us, dims, interpret=False, cfg=None):
@@ -195,15 +270,61 @@ def measure_all_split(us, dims, interpret=False, cfg=None):
 
 
 def make_pallas_chunk_runner(cfg: SimConfig, interpret=False):
-    """Pallas counterpart of sim.make_chunk_runner (same signature)."""
-    from ...runner import build_chunk_runner
+    """Pallas counterpart of sim.make_chunk_runner (same signature).
 
-    sweep = make_pallas_sweep(cfg, interpret=interpret)
+    In PRNGCL stream mode the runner state is (us, (state_e, state_o));
+    the Simulation driver owns the stream state across pack/unpack (same
+    division of labor as the XLA stream runner in sim.make_chunk_runner)."""
+    from ...runner import build_chunk_runner
+    from ..prng_streams import (
+        make_stream,
+        make_stream_state_host,
+        state_to_words,
+        stream_mode_name,
+    )
+
     dims = tuple(cfg.dims)
-    return build_chunk_runner(
-        cfg,
-        sweep,
-        lambda us: measure_all_split(us, dims, interpret=interpret, cfg=cfg),
-        pack=split_links,
+    stream_gen = stream_mode_name(cfg.rng_mode)
+    sweep = make_pallas_sweep(cfg, interpret=interpret)
+    meas = lambda us: measure_all_split(us, dims, interpret=interpret, cfg=cfg)
+    if stream_gen is None:
+        return build_chunk_runner(
+            cfg, sweep, meas, pack=split_links,
+            unpack=lambda us: join_links(us, dims),
+        )
+
+    run = build_chunk_runner(
+        cfg, sweep, lambda st: meas(st[0]), pack=split_links,
         unpack=lambda us: join_links(us, dims),
     )
+
+    def pack_state(dense_state):
+        """Dense stream-state dict -> per-parity packed word arrays."""
+        se, so = split_site_field(state_to_words(stream_gen, dense_state),
+                                  dims)
+        return {"words_e": se, "words_o": so}
+
+    def make_stream_state0():
+        host = make_stream_state_host(stream_gen, cfg.seed, cfg.dims)
+        # transfer + pack under jit: eager device ops are UNIMPLEMENTED on
+        # some TPU runtimes (CLAUDE.md)
+        return jax.jit(pack_state)(host)
+
+    def hot_start():
+        """(u0, packed_state): hot start drawn from the streams in the
+        dense layout (shared with the XLA mode so both engines' hot
+        starts are bit-identical), packed for the kernels afterwards."""
+        from ...sim import stream_hot_start
+
+        state0, draw = make_stream(stream_gen, cfg.seed, cfg.dims)
+
+        def go(st):
+            u0, st2 = stream_hot_start(cfg, draw, st)
+            return u0, pack_state(st2)
+
+        return jax.jit(go)(state0)
+
+    run.make_stream_state0 = make_stream_state0
+    run.stream_hot_start = hot_start
+    run.stream_state_keys = frozenset(("words_e", "words_o"))
+    return run

@@ -318,14 +318,21 @@ def _uniforms_per_subgroup(kind, k_trials, n_hit):
 
 
 def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
-                  k_trials, n_hit, metro_delta, rng_mode, slabs, local_y):
+                  k_trials, n_hit, metro_delta, rng_mode, slabs, local_y,
+                  stream_gen=None):
     # scalar-prefetch layout: [k0, k1, x_offset, y_offset] — the global
     # coordinates of this shard's first slab/row (0 when unsharded), so
     # parities and threefry site keys are global and sharded chains are
     # bit-identical.  beta arrives as a (1, 1) SMEM scalar so one compiled
     # kernel serves every coupling — the beta-scan/ensemble path passes a
     # traced beta.
-    o_ref = refs[-1]
+    if stream_gen is not None:
+        # PRNGCL stream mode: the active parity's per-site generator state
+        # rides as an extra input block + output block
+        state_ref, o_ref, o_state_ref = refs[-3], refs[-2], refs[-1]
+        refs = refs[:-3] + (o_ref,)
+    else:
+        o_ref = refs[-1]
     x = pl.program_id(0) + key_ref[2].astype(jnp.int32)
     y0 = key_ref[3].astype(jnp.int32)
     # dims2's Y entry is the ROW COUNT of the loaded blocks (padded by the
@@ -343,7 +350,18 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
     per = _uniforms_per_subgroup(kind, k_trials, n_hit)
     per_slots = (per + 1) // 2
     shape = (local_y if local_y else dims[1], dims[2] * (dims[3] // 2))
-    if per and rng_mode == "hw":
+    if per and stream_gen is not None:
+        from ..prng_streams import kernel_stream_draw, open01
+
+        w_count = state_ref.shape[0]
+        words = [state_ref[wi, 0] for wi in range(w_count)]
+        u_all, words = kernel_stream_draw(
+            stream_gen, words, 2 * per_slots * len(sgs)
+        )
+        u_all = [open01(u) for u in u_all]
+        for wi in range(w_count):
+            o_state_ref[wi, 0] = words[wi]
+    elif per and rng_mode == "hw":
         xu = x.astype(jnp.uint32) if hasattr(x, "astype") else jnp.uint32(x)
         yu = key_ref[3]
         pltpu.prng_seed(
@@ -382,7 +400,8 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
 
 @lru_cache(maxsize=None)
 def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
-                metro_delta, rng_mode, interpret, local_x=0, local_y=0):
+                metro_delta, rng_mode, interpret, local_x=0, local_y=0,
+                stream=False):
     """Build the jit-able pallas_call for one (mu, parity, kind) stage.
 
     local_x == 0: single-device kernel over the full X extent (X±1 halos
@@ -419,38 +438,73 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
     beta_spec = pl.BlockSpec(
         (1, 1), lambda i, _kref: (0, 0), memory_space=pltpu.SMEM
     )
+    stream_gen = None
+    in_specs = [beta_spec] + [mk_spec(dx) for (_, _, dx) in slabs]
+    out_link_spec = pl.BlockSpec(
+        out_block, lambda i, _kref: (0, 0, 0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((2, n, 2, grid_x, out_y, ZT2),
+                                     jnp.float32)
+    out_specs = out_link_spec
+    if stream:
+        # PRNGCL stream mode (unsharded only): the active parity's state
+        # words [W, X, Y, ZT2] block over X with the links; no halos (RNG
+        # needs no neighbors).  Output tuple = (links, advanced state).
+        from ..prng_streams import (
+            stream_mode_name,
+            stream_word_count,
+            stream_word_dtype,
+        )
+
+        if local_x or local_y:
+            raise NotImplementedError(
+                "PRNGCL streams on the sharded Pallas engine are not "
+                "supported; X/Y meshes fall back to the XLA engine"
+            )
+        stream_gen = stream_mode_name(rng_mode)
+        w = stream_word_count(stream_gen)
+        state_spec = pl.BlockSpec(
+            (w, 1, Y, ZT2), lambda i, _kref: (0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs = in_specs + [state_spec]
+        out_specs = (out_link_spec, state_spec)
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (w, grid_x, Y, ZT2), stream_word_dtype(stream_gen)
+        ))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid_x,),
-        in_specs=[beta_spec] + [mk_spec(dx) for (_, _, dx) in slabs],
-        out_specs=pl.BlockSpec(
-            out_block, lambda i, _kref: (0, 0, 0, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
     kern = partial(
         _stage_kernel, mu=mu, parity=parity, kind=kind, n=n, dims=dims,
         k_trials=k_trials, n_hit=n_hit, metro_delta=metro_delta,
         rng_mode=rng_mode, slabs=slabs, local_y=local_y,
+        stream_gen=stream_gen,
     )
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, n, 2, grid_x, out_y, ZT2),
-                                       jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=bool(interpret),
     )
 
-    def apply(key2, beta, us, x_offset=None, y_offset=None):
+    def apply(key2, beta, us, x_offset=None, y_offset=None,
+              stream_state=None):
         beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
         def off(v):
             return (jnp.zeros((1,), jnp.uint32) if v is None
                     else jnp.asarray(v, jnp.uint32).reshape(1))
         scal = jnp.concatenate([key2, off(x_offset), off(y_offset)])
         args = [us[2 * d + par] for (d, par, _) in slabs]
+        if stream:
+            return call(scal, beta_arr, *args, stream_state)
         return call(scal, beta_arr, *args)
 
     return apply
@@ -458,16 +512,20 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
 
 def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
                  n_hit=3, metro_delta=0.35, rng_mode="threefry",
-                 interpret=False):
+                 interpret=False, stream_state=None):
     """One fused checkerboard stage on packed state.
 
     us: tuple of 8 arrays [2, N, 2, X, Y, Z*T/2] indexed us[2*mu + parity]
     (see ops.pallas.engine).  beta may be a traced scalar (one compiled
     kernel serves every coupling).  Returns the new us[2*mu + parity].
+
+    stream_state (PRNGCL stream mode): the active parity's per-site state
+    words [W, X, Y, Z*T/2]; the stage then returns (new_links, new_state).
     """
     n = us[0].shape[1]
     apply = _stage_call(
         n, tuple(dims), mu, parity, kind, int(k_trials),
         int(n_hit), float(metro_delta), rng_mode, bool(interpret),
+        stream=stream_state is not None,
     )
-    return apply(key2, beta, us)
+    return apply(key2, beta, us, stream_state=stream_state)

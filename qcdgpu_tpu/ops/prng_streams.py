@@ -497,6 +497,158 @@ def make_stream(name: str, seed: int, dims):
     return {k: jnp.asarray(v) for k, v in host.items()}, stream_draw_fn(name)
 
 
+# ---------------------------------------------------------------------------
+# Pallas-engine support: word-array layout + kernel-friendly draws.
+#
+# The fused TPU engine keeps each parity's stream states as ONE stacked
+# array [W, X, Y, Z*T/2] (W 32-bit words per site) so a stage kernel can
+# block it over X like the links.  Only the counter-free generators are
+# supported in-kernel: ranlux/ranmar carry a draw-count counter whose
+# luxury-skip/carry logic needs lax.cond, which Pallas kernels (and the
+# unbatched-predicate requirement) cannot express efficiently.
+# ---------------------------------------------------------------------------
+
+PALLAS_STREAM_GENERATORS = (
+    "xor128", "xor7", "mrg32k3a", "parkmiller", "constant",
+)
+
+
+def state_to_words(name: str, state):
+    """Stream-state dict -> stacked word array [W, *site_shape].
+
+    Works on numpy or jnp leaves (uses the array module of the inputs'
+    namespace via jnp, which accepts both)."""
+    if name == "xor128":
+        return jnp.stack([state["x"], state["y"], state["z"], state["w"]])
+    if name == "xor7":
+        return state["x"]
+    if name == "mrg32k3a":
+        return jnp.concatenate([state["s1"], state["s2"]])
+    if name == "parkmiller":
+        return state["s"][None]
+    if name == "constant":
+        return state["v"][None]
+    raise ValueError(f"{name!r} has no word layout (not Pallas-supported)")
+
+
+def words_to_state(name: str, words):
+    """Inverse of state_to_words."""
+    if name == "xor128":
+        return {"x": words[0], "y": words[1], "z": words[2], "w": words[3]}
+    if name == "xor7":
+        return {"x": words}
+    if name == "mrg32k3a":
+        return {"s1": words[:3], "s2": words[3:]}
+    if name == "parkmiller":
+        return {"s": words[0]}
+    if name == "constant":
+        return {"v": words[0]}
+    raise ValueError(f"{name!r} has no word layout (not Pallas-supported)")
+
+
+def stream_word_dtype(name: str):
+    return {"parkmiller": jnp.int32, "constant": jnp.float32}.get(
+        name, jnp.uint32
+    )
+
+
+def stream_word_count(name: str) -> int:
+    return {"xor128": 4, "xor7": 8, "mrg32k3a": 6,
+            "parkmiller": 1, "constant": 1}[name]
+
+
+def _xor7_step_at(words, k):
+    """One xor7 step with the walking index at static offset k."""
+    t = words[(k + 7) % 8]
+    t = t ^ (t << _U32(13))
+    y = t ^ (t << _U32(9))
+    t = words[(k + 4) % 8]
+    y = y ^ t ^ (t << _U32(7))
+    t = words[(k + 3) % 8]
+    y = y ^ t ^ (t >> _U32(3))
+    t = words[(k + 1) % 8]
+    y = y ^ t ^ (t >> _U32(10))
+    t = words[k % 8]
+    t = t ^ (t >> _U32(7))
+    y = y ^ t ^ (t << _U32(24))
+    words = list(words)
+    words[k % 8] = y
+    return y, words
+
+
+def kernel_stream_draw(name: str, words, n: int):
+    """n uniforms from a LIST of W same-shape word arrays; returns
+    (uniforms list, new words list).
+
+    Built on lax.scan with tuple-of-arrays carries and STATIC word
+    positions — no rolls, stacks over dynamic axes, or gathers — so it
+    lowers inside a Pallas TPU kernel and compiles in O(1) of n (a fully
+    unrolled MRG32k3a chain sent XLA compile time pathological).
+    Bit-identical to the dict-based draws
+    (tests/test_prng_streams.py::test_kernel_draw_matches_dict)."""
+    words = list(words)
+    if name == "constant":
+        return [words[0]] * n, words
+    if name == "xor128":
+        def body(c, _):
+            x, y, z, w0 = c
+            t = x ^ (x << _U32(11))
+            w = w0 ^ (w0 >> _U32(19)) ^ t ^ (t >> _U32(8))
+            return (y, z, w0, w), w.astype(_F32) * _INV32
+    elif name == "mrg32k3a":
+        def body(c, _):
+            s10, s11, s12, s20, s21, s22 = c
+            p1 = _submod(
+                _mulmod(_MRG_A12, s11, _MRG_M1, _MRG_C1),
+                _mulmod(_MRG_A13, s10, _MRG_M1, _MRG_C1),
+                _MRG_M1,
+            )
+            p2 = _submod(
+                _mulmod(_MRG_A21, s22, _MRG_M2, _MRG_C2),
+                _mulmod(_MRG_A23, s20, _MRG_M2, _MRG_C2),
+                _MRG_M2,
+            )
+            z = _submod(p1, p2, _MRG_M1)
+            z = jnp.where(z == 0, _U32(_MRG_M1), z)
+            return (s11, s12, p1, s21, s22, p2), z.astype(_F32) * _MRG_NORM
+    elif name == "parkmiller":
+        def body(c, _):
+            (s,) = c
+            hi = s // _PM_Q
+            t = _PM_A * (s - hi * _PM_Q) - _PM_R * hi
+            s = jnp.where(t > 0, t, t + _PM_M)
+            return (s,), s.astype(_F32) * _PM_NORM
+    elif name == "xor7":
+        # the walking index has period 8, so scan over whole 8-step blocks
+        # (the carry returns to canonical k = 0 each block) and unroll the
+        # remainder, rotating the list back to canonical afterwards
+        def block(c, _):
+            ws = list(c)
+            outs = []
+            for k in range(8):
+                y, ws = _xor7_step_at(ws, k)
+                outs.append(y.astype(_F32) * _INV32)
+            return tuple(ws), jnp.stack(outs)
+
+        nblk, rem = divmod(n, 8)
+        outs = []
+        if nblk:
+            carry, ys = jax.lax.scan(block, tuple(words), None, length=nblk)
+            outs = [ys[b, k] for b in range(nblk) for k in range(8)]
+            words = list(carry)
+        for k in range(rem):
+            y, words = _xor7_step_at(words, k)
+            outs.append(y.astype(_F32) * _INV32)
+        if rem:
+            words = words[rem:] + words[:rem]  # restore canonical k = 0
+        return outs, words
+    else:
+        raise ValueError(f"{name!r} is not Pallas-supported; "
+                         f"have {PALLAS_STREAM_GENERATORS}")
+    carry, ys = jax.lax.scan(body, tuple(words), None, length=n)
+    return [ys[i] for i in range(n)], list(carry)
+
+
 def open01(u):
     """Clamp draws into the open interval (0, 1) for the samplers.
 

@@ -30,6 +30,7 @@ from .ops.lattice import NDIM, parity_mask, site_index
 from .ops.measure import make_measure_fn, measure_obs_names, obs_names
 from .ops.prng_streams import (
     make_stream,
+    make_stream_state_host,
     open01,
     stream_draw_fn,
     stream_mode_name,
@@ -226,10 +227,17 @@ def resolve_engine(cfg: SimConfig) -> str:
     """
     if cfg.engine != "auto":
         return cfg.engine
-    if stream_mode_name(cfg.rng_mode) is not None:
-        # PRNGCL stream mode carries per-site generator state through the
-        # sweep — an XLA-engine feature (config forbids engine='pallas')
-        return "xla"
+    stream_gen = stream_mode_name(cfg.rng_mode)
+    if stream_gen is not None:
+        from .ops.prng_streams import PALLAS_STREAM_GENERATORS
+
+        # counter-free generators run in-kernel on the fused engine
+        # (unsharded; the sharded Pallas path has no stream support);
+        # ranlux/ranmar carry draw counters whose cond logic stays XLA
+        if (stream_gen not in PALLAS_STREAM_GENERATORS
+                or int(np.prod(cfg.mesh)) != 1
+                or cfg.track_acceptance):
+            return "xla"
     if cfg.dtype != "complex64":
         return "xla"
     if cfg.track_acceptance:
@@ -308,6 +316,12 @@ def make_chunk_runner(cfg: SimConfig):
             stream_gen, cfg.seed, cfg.dims
         )[0]
         run.stream_draw = stream_draw_fn(stream_gen)
+        run.stream_hot_start = lambda: jax.jit(
+            partial(stream_hot_start, cfg, run.stream_draw)
+        )(run.make_stream_state0())
+        run.stream_state_keys = frozenset(
+            make_stream_state_host(stream_gen, 0, (2, 2, 2, 2))
+        )
         return run
     return build_chunk_runner(
         cfg, sweep, meas, with_acc=cfg.track_acceptance
@@ -351,9 +365,9 @@ class Simulation:
             self.u = init_u
         elif cfg.start == "hot":
             if self._stream is not None:
-                u0, self._rst = jax.jit(
-                    partial(stream_hot_start, cfg, self._run.stream_draw)
-                )(self._stream_state)
+                # runner-owned: the Pallas stream runner hot-starts in the
+                # dense layout and packs the state for its kernels
+                u0, self._rst = self._run.stream_hot_start()
                 self.u = u0
             else:
                 self.u = jax.jit(partial(hot_start, cfg))(self.base_key)
@@ -572,6 +586,15 @@ class Simulation:
                 raise ValueError(
                     "checkpoint has no PRNGCL stream state but the config "
                     f"runs rng_mode={cfg.rng_mode!r}; cannot resume exactly"
+                )
+            want = getattr(sim._run, "stream_state_keys", None)
+            if want is not None and set(rng_stream) != set(want):
+                raise ValueError(
+                    "PRNGCL stream-state layout mismatch: checkpoint has "
+                    f"{sorted(rng_stream)} but the resolved engine expects "
+                    f"{sorted(want)} — resume with the same engine "
+                    "(XLA dense vs Pallas packed states are different "
+                    "randomness provenances)"
                 )
             sim._rst = {k: jnp.asarray(v) for k, v in rng_stream.items()}
         sim.sweep_idx = sweep_idx

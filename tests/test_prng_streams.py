@@ -106,3 +106,37 @@ def test_sites_decorrelated():
     assert not np.array_equal(u[:, 0], u[:, 1])
     seeds = ps.site_seeds(0, DIMS).ravel()
     assert len(np.unique(seeds)) == seeds.size
+
+
+@pytest.mark.parametrize("name", ps.PALLAS_STREAM_GENERATORS)
+def test_kernel_draw_matches_dict(name):
+    """The unrolled list-state draws (Pallas in-kernel form) must be
+    bit-identical to the dict-based draws across carried state."""
+    import jax
+    import jax.numpy as jnp
+
+    state, draw = ps.make_stream(name, 123, DIMS)
+    words = [jnp.asarray(w) for w in ps.state_to_words(name, state)]
+
+    @jax.jit
+    def dict_side(st):
+        u1, st = draw(st, 37)
+        u2, st = draw(st, 13)
+        return jnp.concatenate([u1, u2]), st
+
+    @jax.jit
+    def list_side(ws):
+        u1, ws = ps.kernel_stream_draw(name, ws, 37)
+        u2, ws = ps.kernel_stream_draw(name, ws, 13)
+        return jnp.stack(u1 + u2), ws
+
+    u_d, st_d = dict_side(state)
+    u_l, ws_l = list_side(words)
+    np.testing.assert_array_equal(np.asarray(u_d), np.asarray(u_l))
+    np.testing.assert_array_equal(
+        np.asarray(ps.state_to_words(name, st_d)), np.asarray(jnp.stack(ws_l))
+    )
+    # layout round trip
+    rt = ps.words_to_state(name, ps.state_to_words(name, state))
+    for k in state:
+        np.testing.assert_array_equal(np.asarray(state[k]), np.asarray(rt[k]))

@@ -21,9 +21,15 @@ CFG = dict(
 
 
 def test_resolves_to_xla_engine():
+    # on CPU hosts every stream config resolves to the XLA engine; the
+    # counter generators do so everywhere (tests/test_pallas_stream.py
+    # covers the Pallas-eligible ones)
     assert resolve_engine(SimConfig(**CFG)) == "xla"
-    with pytest.raises(ValueError, match="XLA-engine"):
-        SimConfig(**{**CFG, "engine": "pallas"})
+    assert resolve_engine(
+        SimConfig(**{**CFG, "rng_mode": "prngcl:ranlux3"})
+    ) == "xla"
+    with pytest.raises(ValueError, match="draw-count counter"):
+        SimConfig(**{**CFG, "rng_mode": "prngcl:ranmar", "engine": "pallas"})
     with pytest.raises(ValueError, match="unknown PRNGCL generator"):
         SimConfig(**{**CFG, "rng_mode": "prngcl:nope"})
 
