@@ -139,7 +139,11 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
         s_axes = 0
         rst_axes = None
     else:
-        sample = make_stream_state_host(stream_gen, cfg.seed, cfg.dims)
+        # a tiny sample lattice suffices to derive per-leaf vmap axes
+        # (np.ndim per leaf); building the full-size host state here would
+        # cost tens-to-hundreds of MB of transient work for ranmar at
+        # production sizes (it is built for real only in runner pack paths)
+        sample = make_stream_state_host(stream_gen, 0, (2, 2, 2, 2))
         rst_axes = {k: (0 if np.ndim(v) else None) for k, v in sample.items()}
         s_axes = (0, rst_axes)
 

@@ -287,6 +287,11 @@ def cfg_fmunu_indices(cfg):
     auto = default_fmunu_indices(cfg.group)
     i1 = cfg.fmunu_index1 or auto[0]
     i2 = cfg.fmunu_index2 or (auto[1] if len(auto) > 1 else 0)
+    if i2 == i1:
+        # e.g. fmunu_index1 explicitly set to the auto second Cartan
+        # generator: keep one copy, or the duplicate observable names
+        # would silently collapse in dict(zip(names, vals)) downstream
+        return (i1,)
     return (i1, i2) if i2 else (i1,)
 
 

@@ -86,21 +86,42 @@ def make_chain_mesh(n: int, devices=None) -> Mesh:
     return Mesh(np.array(devices[:n]), ("c",))
 
 
-def default_mesh_shape(n_devices: int) -> Tuple[int, int, int, int]:
-    """Factor n_devices over (T, Z, Y, X) greedily — T first, then Z, Y, X.
+def default_mesh_shape(
+    n_devices: int, dims: Optional[Sequence[int]] = None
+) -> Tuple[int, int, int, int]:
+    """Factor n_devices over (X, Y, Z, T) — X/Y-major.
 
-    The time axis is usually the largest and the Polyakov product along T is
-    measured rarely, so T-major decomposition keeps the halo surface small.
-    Each axis takes powers of two up to 8 before spilling to the next, so
-    large device counts get a multi-axis torus instead of one huge slab
-    axis; any non-power-of-two remainder (and overflow past all caps)
-    rides on T.
+    This is THE mesh policy: bench.py, __graft_entry__.dryrun_multichip and
+    validate.check_multichip all route through it so every multi-chip entry
+    point lands on the same decomposition.  X/Y-major because the fused
+    sharded Pallas engine (ops/pallas/sharded.py) accepts X/Y meshes only —
+    a Z- or T-sharded mesh silently falls back to the ~200x-slower XLA
+    engine (sim.resolve_engine), so the default must never produce one
+    unless X and Y are saturated.
+
+    Powers of two go to X then Y alternately (X first); each axis is capped
+    at dims[i] // 2 when dims is given (the checkerboard limit: every shard
+    needs an even local extent), else at 8.  Overflow spills to Z then T;
+    any non-power-of-two remainder rides on T.
     """
+    caps = [d // 2 for d in dims] if dims is not None else [8, 8, 8, 8]
     shape = [1, 1, 1, 1]
     rem = n_devices
-    for ax in (3, 2, 1, 0):
-        while rem % 2 == 0 and shape[ax] < 8:
-            shape[ax] *= 2
-            rem //= 2
+    while rem % 2 == 0:
+        # prefer the X/Y axis that is currently smaller (X on ties)
+        if shape[0] <= shape[1] and shape[0] * 2 <= max(caps[0], 1):
+            ax = 0
+        elif shape[1] * 2 <= max(caps[1], 1):
+            ax = 1
+        elif shape[0] * 2 <= max(caps[0], 1):
+            ax = 0
+        elif shape[2] * 2 <= max(caps[2], 1):
+            ax = 2
+        elif shape[3] * 2 <= max(caps[3], 1):
+            ax = 3
+        else:
+            break
+        shape[ax] *= 2
+        rem //= 2
     shape[3] *= rem
     return tuple(shape)

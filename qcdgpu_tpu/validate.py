@@ -151,24 +151,97 @@ def check_rng(quick=False):
     }
 
 
+def _config5_cpu_fallback_main():
+    """Subprocess body for check_multichip's virtual-mesh fallback.
+
+    Runs sharded-vs-unsharded bit equality of a short SU(3) chain on an
+    8-device virtual CPU mesh (the same acceptance test as
+    tests/test_sharding.py, shortened) and prints one JSON line.
+    Launched with JAX_PLATFORMS=cpu +
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 in the environment.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from .ops import rng
+    from .parallel import mesh as pmesh
+    from .sim import hot_start, make_chunk_runner
+
+    dims = (8, 8, 4, 8)
+    shape = pmesh.default_mesh_shape(8, dims)
+    cfg = SimConfig(group=3, dims=dims, beta=6.0, n_or=1, reunit_every=2,
+                    seed=3)
+    key = rng.make_base_key(3)
+    u0 = hot_start(cfg, key).astype(jnp.complex64)
+    run = make_chunk_runner(cfg)
+    u_ref, obs_ref = run(u0, key, 0, 2, 2)
+
+    mesh = pmesh.make_mesh(shape)
+    u_out, obs_sh = run(pmesh.shard_links(u0, mesh), key, 0, 2, 2)
+    dlinks = float(np.max(np.abs(np.asarray(u_ref) - np.asarray(u_out))))
+    dobs = float(np.max(np.abs(np.asarray(obs_ref) - np.asarray(obs_sh))))
+    print(json.dumps({
+        "mesh": list(shape), "max_dlinks": dlinks, "max_dobs": dobs,
+        "plq": float(np.asarray(obs_sh)[0, 0]),
+        "pass": bool(dlinks == 0.0 and dobs < 1e-5),
+    }))
+
+
+def _config5_cpu_fallback(timeout_s=1200):
+    """Run _config5_cpu_fallback_main in a CPU-forced subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    code = ("from qcdgpu_tpu.validate import _config5_cpu_fallback_main; "
+            "_config5_cpu_fallback_main()")
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=timeout_s,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"fallback subprocess rc={proc.returncode}: {proc.stderr[-500:]}"
+        )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
 def check_multichip(quick=False):
     import jax
 
+    from .parallel.mesh import default_mesh_shape
+
     n_dev = len(jax.devices())
     if n_dev < 2:
+        # no second chip on this host: run BASELINE config 5's mechanism
+        # (domain decomposition + halo exchange) on a virtual 8-device CPU
+        # mesh in a subprocess — PASS/FAIL, never SKIP (VERDICT r1 #6)
+        r = _config5_cpu_fallback()
         return {
-            "name": "multi-chip SU(3) 32^4 (BASELINE config 5)",
-            "skipped": f"only {n_dev} device attached; sharded-vs-unsharded "
-                       "bit equality runs in tests/test_sharding.py on a "
-                       "virtual 8-device CPU mesh",
-            "pass": None,
+            "name": "multi-chip SU(3) sharded==unsharded "
+                    f"(virtual 8-dev CPU mesh {tuple(r['mesh'])}; "
+                    f"only {n_dev} real device attached)",
+            "measured": {"max_dlinks": r["max_dlinks"],
+                         "max_dobs": r["max_dobs"]},
+            "expected": "bit-identical links, obs within 1e-5",
+            "pass": bool(r["pass"]),
         }
-    # clamp to the checkerboard limit dims[0] // 2 (each X shard needs an
-    # even extent) so a >=32-device host doesn't fail config validation
-    mx = min(2 ** int(np.log2(n_dev)), 16)
+    dims = (32, 32, 32, 32)
+    # largest power-of-two device count, X/Y-major shared mesh policy
+    shape = default_mesh_shape(1 << int(np.log2(n_dev)), dims)
     cfg = SimConfig(
-        group=3, dims=(32, 32, 32, 32), beta=6.0, n_or=1,
-        mesh=(mx, 1, 1, 1), sweeps_therm=50 if quick else 150,
+        group=3, dims=dims, beta=6.0, n_or=1,
+        mesh=shape, sweeps_therm=50 if quick else 150,
         sweeps=100 if quick else 300, seed=3,
     )
     sim = Simulation(cfg)  # __init__ places the links onto the cfg.mesh
@@ -178,7 +251,7 @@ def check_multichip(quick=False):
     dev = abs(st.mean - SU3_B60_PLQ)
     tol = max(5 * st.err, SU3_WINDOW)
     return {
-        "name": f"multi-chip SU(3) 32^4 over {mx} devices",
+        "name": f"multi-chip SU(3) 32^4 over mesh {shape}",
         "measured": st.mean, "err": st.err, "expected": SU3_B60_PLQ,
         "tolerance": tol, "pass": bool(dev < tol),
     }
@@ -200,7 +273,9 @@ def check_engines(quick=False):
     import jax
     import jax.numpy as jnp
 
-    if jax.devices()[0].platform != "tpu":
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        # "axon" is the tunneled-TPU platform name; treat it as TPU like
+        # bench.py and sim.resolve_engine do
         return {
             "name": "engine cross-validation (XLA vs Pallas, threefry)",
             "skipped": "needs a TPU (interpret-mode twin runs in "

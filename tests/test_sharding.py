@@ -55,8 +55,16 @@ def test_sharded_chunk_runner_observables_match():
 
 
 def test_mesh_helpers():
-    assert pmesh.default_mesh_shape(8)[3] == 8
-    assert int(np.prod(pmesh.default_mesh_shape(4))) == 4
+    # X/Y-major: the fused sharded Pallas engine accepts X/Y meshes only,
+    # so the default must keep Z/T unsharded until X and Y saturate
+    assert pmesh.default_mesh_shape(8) == (4, 2, 1, 1)
+    assert pmesh.default_mesh_shape(4) == (2, 2, 1, 1)
+    assert pmesh.default_mesh_shape(2) == (2, 1, 1, 1)
+    assert pmesh.default_mesh_shape(1) == (1, 1, 1, 1)
+    # odd remainder rides T; caps honor the checkerboard limit dims//2
+    assert pmesh.default_mesh_shape(3) == (1, 1, 1, 3)
+    assert pmesh.default_mesh_shape(8, dims=(4, 4, 32, 32)) == (2, 2, 2, 1)
+    assert pmesh.default_mesh_shape(256, dims=(32,) * 4) == (16, 16, 1, 1)
     m = pmesh.make_mesh((1, 1, 2, 4))
     assert m.shape == {"x": 1, "y": 1, "z": 2, "t": 4}
     with pytest.raises(ValueError):
