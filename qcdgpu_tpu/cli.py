@@ -294,11 +294,13 @@ def cmd_scan(args):
     timings["total_s"] = round(time.time() - t0, 3)
     os.makedirs(args.out, exist_ok=True)
     scan.save(os.path.join(args.out, "scan_state.npz"))
-    from .ops.measure import measure_obs_names
+    from .ops.measure import obs_names
 
     from .utils.stats import susceptibility
 
-    names = list(measure_obs_names(cfg))
+    # obs_names includes the per-chain acc_rate column when the config
+    # tracks Metropolis acceptance (scan rows carry it per chain now)
+    names = list(obs_names(cfg))
     rows = []
     for c, b in enumerate(betas):
         row = {"beta": b}

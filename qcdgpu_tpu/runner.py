@@ -36,22 +36,38 @@ MEAS_BLOCK_CHUNK = 64
 
 
 def build_chunk_runner(cfg, sweep, measure_state, pack=None, unpack=None,
-                       with_acc=False, n_obs=None):
+                       with_acc=False, n_obs=None, append_acc=None,
+                       acc_init=None):
     """Build the chunk runner for one engine.
 
     sweep(state, key, sweep_idx) -> state'   (or (state', acc_rate) when
-        with_acc — the Metropolis acceptance accumulator)
+        with_acc — the Metropolis acceptance accumulator; acc_rate may be
+        a vector, e.g. per-chain in the ensemble)
     measure_state(state) -> float32 measurement row (no acc column)
     pack / unpack: canonical complex link field <-> engine state
         (identity by default; the Pallas engines use split/join here, so
         conversions happen once per compiled call, not per sweep).
     n_obs: measurement-row width override (the ensemble runner flattens
         [n_chains, n_obs] rows into the buffer).
+    append_acc(row, acc_rate) -> row': how the accumulated acceptance
+        joins the measurement row (default: scalar appended at the end;
+        the ensemble interleaves one acc column per chain).  The returned
+        row must be n_obs wide.
+    acc_init: zero accumulator matching the sweep's acc_rate shape
+        (default 0-d; the ensemble passes zeros([n_chains]) — the
+        fori_loop carry must keep one structure across iterations).
     """
     identity_layout = pack is None
     pack = pack or (lambda u: u)
     unpack = unpack or (lambda s: s)
     n_obs = len(obs_names(cfg)) if n_obs is None else int(n_obs)
+    if append_acc is None:
+        def append_acc(row, acc_rate):
+            return jnp.concatenate(
+                [row, acc_rate.reshape(1).astype(jnp.float32)]
+            )
+    if acc_init is None:
+        acc_init = jnp.float32(0.0)
     # capture at build time: run_meas freezes the row-buffer size at first
     # trace, so reading the module global again at call time could hand
     # run_packed a LARGER block count than the cached buffer holds
@@ -71,7 +87,7 @@ def build_chunk_runner(cfg, sweep, measure_state, pack=None, unpack=None,
 
     @jax.jit
     def run_nomeas(st, key, sweep0, n):
-        st, _ = sweeps_carry((st, jnp.float32(0.0)), key, sweep0, n)
+        st, _ = sweeps_carry((st, acc_init), key, sweep0, n)
         return st
 
     @partial(jax.jit, static_argnums=(4,))
@@ -81,13 +97,11 @@ def build_chunk_runner(cfg, sweep, measure_state, pack=None, unpack=None,
         def blk(b, carry):
             st, buf = carry
             st, acc = sweeps_carry(
-                (st, jnp.float32(0.0)), key, sweep0 + b * me, me
+                (st, acc_init), key, sweep0 + b * me, me
             )
             row = measure_state(st)
             if with_acc:
-                row = jnp.concatenate(
-                    [row, (acc / me)[None].astype(jnp.float32)]
-                )
+                row = append_acc(row, acc / me)
             return st, jax.lax.dynamic_update_slice(buf, row[None], (b, 0))
 
         st, buf = jax.lax.fori_loop(0, n_blocks, blk, (st, buf))

@@ -205,3 +205,27 @@ def test_betascan_matches_single_chains():
         sim = Simulation(cfg.replace(beta=float(b), seed=cfg.seed + 1000 * i))
         ref = sim.run(4, measure_every=2)
         np.testing.assert_allclose(obs[i], ref, rtol=0, atol=2e-6)
+
+
+def test_betascan_tracks_acceptance_per_chain():
+    """With track_acceptance, every scan chain reports its own acc_rate
+    column, equal to the standalone Simulation's (QCDGPU reports the
+    Metropolis acceptance per run; a scan is C runs — VERDICT r1 #9)."""
+    from qcdgpu_tpu.models.ensemble import BetaScan
+    from qcdgpu_tpu.ops.measure import obs_names
+    from qcdgpu_tpu.sim import Simulation
+
+    betas = [1.8, 2.6]
+    cfg = SimConfig(group=2, dims=(4, 4, 4, 4), beta=0.0, sweeps_therm=0,
+                    sweeps=4, seed=21, reunit_every=2,
+                    algorithm="metropolis", track_acceptance=True)
+    k = list(obs_names(cfg)).index("acc_rate")
+    scan = BetaScan(cfg, betas)
+    obs = scan.run(4, measure_every=2)  # [2, 2, n_obs + 1]
+    assert obs.shape[-1] == len(obs_names(cfg))
+    for i, b in enumerate(betas):
+        sim = Simulation(cfg.replace(beta=float(b), seed=cfg.seed + 1000 * i))
+        ref = sim.run(4, measure_every=2)
+        np.testing.assert_allclose(obs[i], ref, rtol=0, atol=2e-6)
+        acc = obs[i, :, k]
+        assert np.all((acc > 0.05) & (acc <= 1.0)), acc

@@ -59,13 +59,17 @@ def test_continue_start_requires_checkpoint():
         Simulation(SimConfig(dims=(4, 4, 4, 4), start="continue"))
 
 
-def test_ensemble_rejects_track_acceptance():
+def test_ensemble_accepts_track_acceptance():
+    """Ensembles track Metropolis acceptance per chain (the acc_rate
+    column obs_names advertises) — the old rejection is gone; the runner
+    must build and advertise the widened row."""
     from qcdgpu_tpu.models.ensemble import make_ensemble_runner
+    from qcdgpu_tpu.ops.measure import obs_names
 
     cfg = SimConfig(dims=(4, 4, 4, 4), algorithm="metropolis",
                     track_acceptance=True)
-    with pytest.raises(ValueError, match="track_acceptance"):
-        make_ensemble_runner(cfg, 2)
+    assert "acc_rate" in obs_names(cfg)
+    make_ensemble_runner(cfg, 2)
 
 
 def test_cli_mesh_parser_requires_four_axes():
