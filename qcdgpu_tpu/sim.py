@@ -496,6 +496,13 @@ class Simulation:
         n = self.cfg.sweeps if n is None else n
         me = self.cfg.meas_every if measure_every is None else measure_every
         every = self.cfg.ckpt_every if ckpt_path else 0
+        if every and me:
+            # checkpoint chunk boundaries must land on measurement-block
+            # boundaries too: the config-level ckpt_every % meas_every
+            # check only covers the default cadence, and a run() override
+            # with me > ckpt_every would otherwise chunk into blocks that
+            # measure nothing (series silently empty)
+            every = -(-every // me) * me
         if progress_every and me:
             # chunk boundaries must land on measurement-block boundaries
             # or the series would depend on the progress cadence (same
