@@ -108,18 +108,16 @@ class SimConfig:
 
                 if gen not in PALLAS_STREAM_GENERATORS:
                     raise ValueError(
-                        f"generator {gen!r} carries a draw-count counter "
-                        "(luxury skip / slow carry) that the fused kernels "
-                        "cannot express — use engine='xla'/'auto', or one "
-                        f"of {PALLAS_STREAM_GENERATORS} on the Pallas engine"
+                        f"generator {gen!r} has no in-kernel form — use "
+                        "engine='xla'/'auto', or one of "
+                        f"{PALLAS_STREAM_GENERATORS} on the Pallas engine"
                     )
-                for m in self.mesh:
-                    if m != 1:
-                        raise ValueError(
-                            "PRNGCL streams on the sharded Pallas engine "
-                            "are not supported (lattice meshes fall back "
-                            "to the XLA engine with engine='auto')"
-                        )
+                if self.mesh[2] != 1 or self.mesh[3] != 1:
+                    raise ValueError(
+                        "the sharded Pallas engine decomposes along X/Y "
+                        "only; Z/T meshes run on the XLA engine "
+                        "(engine='auto' picks it)"
+                    )
         elif self.rng_mode not in ("threefry", "hw"):
             raise ValueError(f"unknown rng_mode {self.rng_mode!r}")
         if self.meas_dtype not in ("same", "double"):

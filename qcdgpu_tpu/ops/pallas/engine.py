@@ -207,19 +207,38 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False):
     if stream_gen is None:
         return sweep
 
+    from ..prng_streams import REF_STREAM_GENERATORS
+
+    scalar_names = ()
+    if stream_gen in REF_STREAM_GENERATORS:
+        scalar_names = ("nb",) if stream_gen.startswith("ranlux") else ("c",)
+        scalar_names = scalar_names + ("ptr",)
+
     def stream_sweep(state, base_key, sweep_idx, beta=None):
-        us, rst = state  # rst: {"words_e": ..., "words_o": ...}
+        # rst: {"words_e", "words_o"} (+ per-parity 0-d scalar leaves
+        # "<name>_e"/"<name>_o" for the ref-based lagged generators)
+        us, rst = state
         b = cfg.beta if beta is None else beta
         stage_id = 0
         for kind in kinds:
             for parity in (0, 1):
-                pkey = "words_e" if parity == 0 else "words_o"
+                sfx = "_e" if parity == 0 else "_o"
+                pkey = "words" + sfx
                 for mu in range(NDIM):
                     key2 = rng.stage_key(base_key, sweep_idx, stage_id)
                     if kind == "overrelax":  # zero RNG: links-only kernel
                         new = pupdate.stage_update(
                             us, mu, parity, kind, b, key2, dims, **kw
                         )
+                    elif scalar_names:
+                        scal = {s: rst[s + sfx] for s in scalar_names}
+                        new, new_rst, scal2 = pupdate.stage_update(
+                            us, mu, parity, kind, b, key2, dims,
+                            stream_state=rst[pkey], stream_scalars=scal,
+                            **kw
+                        )
+                        rst = {**rst, pkey: new_rst,
+                               **{s + sfx: scal2[s] for s in scalar_names}}
                     else:
                         new, new_rst = pupdate.stage_update(
                             us, mu, parity, kind, b, key2, dims,
@@ -277,9 +296,11 @@ def make_pallas_chunk_runner(cfg: SimConfig, interpret=False):
     division of labor as the XLA stream runner in sim.make_chunk_runner)."""
     from ...runner import build_chunk_runner
     from ..prng_streams import (
+        REF_STREAM_GENERATORS,
         make_stream,
         make_stream_state_host,
         state_to_words,
+        stream_kernel_scalars,
         stream_mode_name,
     )
 
@@ -299,10 +320,20 @@ def make_pallas_chunk_runner(cfg: SimConfig, interpret=False):
     )
 
     def pack_state(dense_state):
-        """Dense stream-state dict -> per-parity packed word arrays."""
+        """Dense stream-state dict -> per-parity packed word arrays (plus
+        per-parity 0-d scalar leaves for the ref-based lagged generators:
+        both parities start from the same dense draw history, so the
+        walking pointer / luxury counter / carry are equal at pack time
+        and diverge only through per-parity in-kernel consumption)."""
         se, so = split_site_field(state_to_words(stream_gen, dense_state),
                                   dims)
-        return {"words_e": se, "words_o": so}
+        out = {"words_e": se, "words_o": so}
+        if stream_gen in REF_STREAM_GENERATORS:
+            for k, v in stream_kernel_scalars(stream_gen,
+                                              dense_state).items():
+                out[k + "_e"] = v
+                out[k + "_o"] = v
+        return out
 
     def make_stream_state0():
         host = make_stream_state_host(stream_gen, cfg.seed, cfg.dims)
@@ -326,5 +357,10 @@ def make_pallas_chunk_runner(cfg: SimConfig, interpret=False):
 
     run.make_stream_state0 = make_stream_state0
     run.stream_hot_start = hot_start
-    run.stream_state_keys = frozenset(("words_e", "words_o"))
+    keys = ["words_e", "words_o"]
+    if stream_gen in REF_STREAM_GENERATORS:
+        scal = ("nb",) if stream_gen.startswith("ranlux") else ("c",)
+        for s in scal + ("ptr",):
+            keys += [s + "_e", s + "_o"]
+    run.stream_state_keys = frozenset(keys)
     return run

@@ -351,16 +351,30 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
     per_slots = (per + 1) // 2
     shape = (local_y if local_y else dims[1], dims[2] * (dims[3] // 2))
     if per and stream_gen is not None:
-        from ..prng_streams import kernel_stream_draw, open01
-
-        w_count = state_ref.shape[0]
-        words = [state_ref[wi, 0] for wi in range(w_count)]
-        u_all, words = kernel_stream_draw(
-            stream_gen, words, 2 * per_slots * len(sgs)
+        from ..prng_streams import (
+            REF_STREAM_GENERATORS,
+            kernel_stream_draw,
+            kernel_stream_draw_ref,
+            open01,
         )
+
+        ndraw = 2 * per_slots * len(sgs)
+        if stream_gen in REF_STREAM_GENERATORS:
+            # lagged generators: lag window mutated in the output ref in
+            # absolute slots; the walking pointer / luxury counter / carry
+            # arrive as scalar-prefetch entries 4..5 and advance outside
+            # the kernel (prng_streams.advance_kernel_scalars)
+            u_all = kernel_stream_draw_ref(
+                stream_gen, state_ref, o_state_ref,
+                key_ref[4], key_ref[5], ndraw,
+            )
+        else:
+            w_count = state_ref.shape[0]
+            words = [state_ref[wi, 0] for wi in range(w_count)]
+            u_all, words = kernel_stream_draw(stream_gen, words, ndraw)
+            for wi in range(w_count):
+                o_state_ref[wi, 0] = words[wi]
         u_all = [open01(u) for u in u_all]
-        for wi in range(w_count):
-            o_state_ref[wi, 0] = words[wi]
     elif per and rng_mode == "hw":
         xu = x.astype(jnp.uint32) if hasattr(x, "astype") else jnp.uint32(x)
         yu = key_ref[3]
@@ -448,30 +462,27 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
                                      jnp.float32)
     out_specs = out_link_spec
     if stream:
-        # PRNGCL stream mode (unsharded only): the active parity's state
-        # words [W, X, Y, ZT2] block over X with the links; no halos (RNG
-        # needs no neighbors).  Output tuple = (links, advanced state).
+        # PRNGCL stream mode: the active parity's state words
+        # [W, X(_local), Y(_local), ZT2] block over X with the links.  No
+        # halos (RNG needs no neighbors), so the sharded variants use the
+        # same unpadded spec over the shard-local extents.  Output tuple =
+        # (links, advanced state).
         from ..prng_streams import (
             stream_mode_name,
             stream_word_count,
             stream_word_dtype,
         )
 
-        if local_x or local_y:
-            raise NotImplementedError(
-                "PRNGCL streams on the sharded Pallas engine are not "
-                "supported; X/Y meshes fall back to the XLA engine"
-            )
         stream_gen = stream_mode_name(rng_mode)
         w = stream_word_count(stream_gen)
         state_spec = pl.BlockSpec(
-            (w, 1, Y, ZT2), lambda i, _kref: (0, i, 0, 0),
+            (w, 1, out_y, ZT2), lambda i, _kref: (0, i, 0, 0),
             memory_space=pltpu.VMEM,
         )
         in_specs = in_specs + [state_spec]
         out_specs = (out_link_spec, state_spec)
         out_shape = (out_shape, jax.ShapeDtypeStruct(
-            (w, grid_x, Y, ZT2), stream_word_dtype(stream_gen)
+            (w, grid_x, out_y, ZT2), stream_word_dtype(stream_gen)
         ))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -496,12 +507,17 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
     )
 
     def apply(key2, beta, us, x_offset=None, y_offset=None,
-              stream_state=None):
+              stream_state=None, stream_scalars=None):
         beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
         def off(v):
             return (jnp.zeros((1,), jnp.uint32) if v is None
                     else jnp.asarray(v, jnp.uint32).reshape(1))
-        scal = jnp.concatenate([key2, off(x_offset), off(y_offset)])
+        parts = [key2, off(x_offset), off(y_offset)]
+        if stream_scalars:
+            # ref-based stream generators: [s0, ptr] ride the prefetch
+            parts += [jnp.asarray(s, jnp.uint32).reshape(1)
+                      for s in stream_scalars]
+        scal = jnp.concatenate(parts)
         args = [us[2 * d + par] for (d, par, _) in slabs]
         if stream:
             return call(scal, beta_arr, *args, stream_state)
@@ -512,7 +528,7 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
 
 def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
                  n_hit=3, metro_delta=0.35, rng_mode="threefry",
-                 interpret=False, stream_state=None):
+                 interpret=False, stream_state=None, stream_scalars=None):
     """One fused checkerboard stage on packed state.
 
     us: tuple of 8 arrays [2, N, 2, X, Y, Z*T/2] indexed us[2*mu + parity]
@@ -521,6 +537,10 @@ def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
 
     stream_state (PRNGCL stream mode): the active parity's per-site state
     words [W, X, Y, Z*T/2]; the stage then returns (new_links, new_state).
+    stream_scalars (ref-based generators only): dict of 0-d scalar leaves
+    (prng_streams.stream_kernel_scalars order) — encoded onto the scalar
+    prefetch channel here, advanced in closed form on return, so the
+    caller gets (new_links, new_state, new_scalars).
     """
     n = us[0].shape[1]
     apply = _stage_call(
@@ -528,4 +548,22 @@ def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
         int(n_hit), float(metro_delta), rng_mode, bool(interpret),
         stream=stream_state is not None,
     )
-    return apply(key2, beta, us, stream_state=stream_state)
+    if stream_scalars is None:
+        return apply(key2, beta, us, stream_state=stream_state)
+    from ..prng_streams import (
+        advance_kernel_scalars,
+        encode_kernel_scalars,
+        stream_mode_name,
+    )
+
+    gen = stream_mode_name(rng_mode)
+    enc = encode_kernel_scalars(gen, stream_scalars)
+    new_links, new_state = apply(
+        key2, beta, us, stream_state=stream_state, stream_scalars=enc
+    )
+    sgs = _subgroups(n)
+    per = _uniforms_per_subgroup(kind, k_trials, n_hit)
+    ndraw = 2 * ((per + 1) // 2) * len(sgs)
+    return new_links, new_state, advance_kernel_scalars(
+        gen, stream_scalars, ndraw
+    )

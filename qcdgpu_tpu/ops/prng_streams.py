@@ -502,22 +502,43 @@ def make_stream(name: str, seed: int, dims):
 #
 # The fused TPU engine keeps each parity's stream states as ONE stacked
 # array [W, X, Y, Z*T/2] (W 32-bit words per site) so a stage kernel can
-# block it over X like the links.  Only the counter-free generators are
-# supported in-kernel: ranlux/ranmar carry a draw-count counter whose
-# luxury-skip/carry logic needs lax.cond, which Pallas kernels (and the
-# unbatched-predicate requirement) cannot express efficiently.
+# block it over X like the links.  Two in-kernel draw styles:
+#
+#  * counter-free generators (xor128/xor7/mrg32k3a/parkmiller/constant):
+#    value-carried lax.scan with STATIC word positions — kernel_stream_draw.
+#
+#  * lagged generators (ranlux0-4, ranmar — REF_STREAM_GENERATORS): the
+#    lag window lives in the output ref in ABSOLUTE slots, addressed by a
+#    walking pointer.  The pointer, ranlux's luxury-skip counter nb, and
+#    ranmar's arithmetic carry c are site- AND seed-independent (they
+#    advance purely with the draw count), so they ride the kernel's
+#    scalar-prefetch channel as runtime scalars: per static draw position
+#    t the lag slots are scalar arithmetic on (ptr0, t, skips(t)), the
+#    luxury skip is a pl.when-guarded fori_loop, and the scalars advance
+#    OUTSIDE the kernel in closed form (advance_kernel_scalars) —
+#    kernel_stream_draw_ref.  This removes the data-dependent lax.cond
+#    that kept QCDGPU's default RANLUX3 off the fused engine.
 # ---------------------------------------------------------------------------
+
+#: generators whose in-kernel state is ref-based (lag window + pointer)
+REF_STREAM_GENERATORS = (
+    "ranlux0", "ranlux1", "ranlux2", "ranlux3", "ranlux4", "ranmar",
+)
 
 PALLAS_STREAM_GENERATORS = (
     "xor128", "xor7", "mrg32k3a", "parkmiller", "constant",
-)
+) + REF_STREAM_GENERATORS
 
 
 def state_to_words(name: str, state):
     """Stream-state dict -> stacked word array [W, *site_shape].
 
     Works on numpy or jnp leaves (uses the array module of the inputs'
-    namespace via jnp, which accepts both)."""
+    namespace via jnp, which accepts both).  For the ref-based generators
+    the per-site words are the lag window in the rolled-canonical rotation
+    (== absolute layout with the pointer at its canonical seeding slot);
+    the 0-d scalars (nb / c) are NOT part of the word array — they ride
+    separately (stream_kernel_scalars)."""
     if name == "xor128":
         return jnp.stack([state["x"], state["y"], state["z"], state["w"]])
     if name == "xor7":
@@ -528,11 +549,16 @@ def state_to_words(name: str, state):
         return state["s"][None]
     if name == "constant":
         return state["v"][None]
+    if name.startswith("ranlux"):
+        return jnp.concatenate([state["x"], state["carry"][None]])
+    if name == "ranmar":
+        return state["u"]
     raise ValueError(f"{name!r} has no word layout (not Pallas-supported)")
 
 
 def words_to_state(name: str, words):
-    """Inverse of state_to_words."""
+    """Inverse of state_to_words (0-d scalar leaves handled separately for
+    the ref-based generators)."""
     if name == "xor128":
         return {"x": words[0], "y": words[1], "z": words[2], "w": words[3]}
     if name == "xor7":
@@ -543,18 +569,25 @@ def words_to_state(name: str, words):
         return {"s": words[0]}
     if name == "constant":
         return {"v": words[0]}
+    if name.startswith("ranlux"):
+        return {"x": words[:24], "carry": words[24]}
+    if name == "ranmar":
+        return {"u": words}
     raise ValueError(f"{name!r} has no word layout (not Pallas-supported)")
 
 
 def stream_word_dtype(name: str):
-    return {"parkmiller": jnp.int32, "constant": jnp.float32}.get(
-        name, jnp.uint32
-    )
+    if name.startswith("ranlux"):
+        return jnp.int32
+    return {"parkmiller": jnp.int32, "constant": jnp.float32,
+            "ranmar": jnp.float32}.get(name, jnp.uint32)
 
 
 def stream_word_count(name: str) -> int:
+    if name.startswith("ranlux"):
+        return 25  # 24 lag words + the per-site borrow carry
     return {"xor128": 4, "xor7": 8, "mrg32k3a": 6,
-            "parkmiller": 1, "constant": 1}[name]
+            "parkmiller": 1, "constant": 1, "ranmar": 97}[name]
 
 
 def _xor7_step_at(words, k):
@@ -647,6 +680,143 @@ def kernel_stream_draw(name: str, words, n: int):
                          f"have {PALLAS_STREAM_GENERATORS}")
     carry, ys = jax.lax.scan(body, tuple(words), None, length=n)
     return [ys[i] for i in range(n)], list(carry)
+
+
+# ---------------------------------------------------------------------------
+# ref-based in-kernel draws (ranlux, ranmar)
+# ---------------------------------------------------------------------------
+
+# canonical pointer slots at seeding time (the rolled-canonical rotation):
+# ranlux i24 -> slot 23 (j24 = i24 - 14 mod 24 = 9), ranmar i97 -> slot 96
+# (j97 = i97 - 64 mod 97 = 32)
+_RANLUX_PTR0 = 23
+_RANMAR_PTR0 = 96
+_RM_CD_I = 7654321     # RANMAR carry decrement, in 2^-24 grid units
+_RM_CM_I = 16777213    # RANMAR carry modulus, in 2^-24 grid units
+
+
+def _ranlux_skip_len(name: str) -> int:
+    return _RANLUX_P[int(name[-1])] - 24
+
+
+def stream_kernel_scalars(name: str, state) -> dict:
+    """The 0-d scalar channel values for a ref-based generator, from a
+    dense (rolled-canonical) stream-state dict.  All values are site- and
+    seed-independent; "ptr" is the absolute walking-pointer slot, which is
+    the canonical seeding slot for any rolled-canonical state."""
+    if name.startswith("ranlux"):
+        return {"nb": jnp.asarray(state["nb"], jnp.int32),
+                "ptr": jnp.asarray(_RANLUX_PTR0, jnp.int32)}
+    if name == "ranmar":
+        return {"c": jnp.asarray(state["c"], jnp.float32),
+                "ptr": jnp.asarray(_RANMAR_PTR0, jnp.int32)}
+    return {}
+
+
+def encode_kernel_scalars(name: str, scalars) -> list:
+    """Scalar dict -> fixed-order uint32 list for the scalar-prefetch
+    vector (order: [s0, ptr]).  ranmar's carry c is an exact multiple of
+    2^-24 in [0, 1) (see _ranmar_init), so c * 2^24 round-trips exactly
+    through uint32."""
+    if name.startswith("ranlux"):
+        s0 = jnp.asarray(scalars["nb"], jnp.uint32)
+    elif name == "ranmar":
+        s0 = jnp.round(scalars["c"] * np.float32(1 << 24)).astype(jnp.uint32)
+    else:
+        return []
+    return [s0, jnp.asarray(scalars["ptr"], jnp.uint32)]
+
+
+def advance_kernel_scalars(name: str, scalars, n: int) -> dict:
+    """Closed-form scalar advance after n in-kernel draws (jnp scalar ops,
+    evaluated OUTSIDE the kernel by the stage wrapper).
+
+    ranlux: nb' = ((nb + n - 1) % 24) + 1 (the counter wraps through the
+    luxury skip); skips fired = floor((nb + n - 1) / 24); each skip costs
+    skip_len SWB steps and each draw one, all decrementing the pointer.
+    ranmar: c' = c - n*CD (mod CM) on the exact 2^-24 integer grid;
+    pointer decrements once per draw.
+    """
+    if name.startswith("ranlux"):
+        nb = jnp.asarray(scalars["nb"], jnp.int32)
+        skips = (nb + (n - 1)) // 24
+        nb2 = ((nb + (n - 1)) % 24) + 1
+        ptr2 = jnp.mod(scalars["ptr"] - n - _ranlux_skip_len(name) * skips,
+                       24).astype(jnp.int32)
+        return {"nb": nb2, "ptr": ptr2}
+    if name == "ranmar":
+        ci = jnp.round(scalars["c"] * np.float32(1 << 24)).astype(jnp.int32)
+        ci2 = jnp.mod(ci - jnp.int32(n % _RM_CM_I) * jnp.int32(_RM_CD_I % _RM_CM_I)
+                      % jnp.int32(_RM_CM_I), jnp.int32(_RM_CM_I))
+        c2 = ci2.astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+        ptr2 = jnp.mod(scalars["ptr"] - n, 97).astype(jnp.int32)
+        return {"c": c2, "ptr": ptr2}
+    raise ValueError(f"{name!r} has no kernel scalars")
+
+
+def kernel_stream_draw_ref(name: str, state_ref, out_ref, s0, ptr0, n: int):
+    """n in-kernel uniforms for a ref-based generator (ranlux*/ranmar).
+
+    state_ref/out_ref: [W, 1, Y, ZT2] VMEM blocks (input / output state);
+    the lag window is mutated in out_ref in ABSOLUTE slots.  s0, ptr0: the
+    uint32 scalar-prefetch values (encode_kernel_scalars order).  Returns
+    the list of n [Y, ZT2] float32 uniforms; the caller advances the
+    scalars outside the kernel (advance_kernel_scalars).
+    """
+    import jax.experimental.pallas as pl
+
+    out_ref[...] = state_ref[...]  # carry the window across the stage
+    outs = []
+    if name.startswith("ranlux"):
+        nb0 = s0.astype(jnp.int32)
+        p0 = ptr0.astype(jnp.int32)
+        skip_len = _ranlux_skip_len(name)
+        big = _I32(1 << 24)
+
+        def swb_at(ip):
+            """One subtract-with-borrow step at raw pointer ip (traced)."""
+            i = jnp.mod(ip, 24)
+            j = jnp.mod(ip - 14, 24)
+            d = out_ref[j, 0] - out_ref[i, 0] - out_ref[24, 0]
+            borrow = d < 0
+            d = d + jnp.where(borrow, big, _I32(0))
+            out_ref[i, 0] = d
+            out_ref[24, 0] = borrow.astype(_I32)
+            return d
+
+        for t in range(n):
+            if skip_len:  # lux 0 discards nothing
+                fired = nb0 + t  # skip number if a skip fires here
+                pred = (jnp.mod(fired, 24) == 0) & (fired > 0)
+                base = p0 - t - skip_len * (fired // 24 - 1)
+
+                @pl.when(pred)
+                def _(base=base):
+                    jax.lax.fori_loop(
+                        0, skip_len, lambda k, ip: (swb_at(ip), ip - 1)[1],
+                        base,
+                    )
+            i_raw = p0 - t - skip_len * ((nb0 + t) // 24)
+            d = swb_at(i_raw)
+            outs.append(d.astype(_F32) * _INV24)
+        return outs
+    if name == "ranmar":
+        ci0 = s0.astype(jnp.int32)
+        p0 = ptr0.astype(jnp.int32)
+        for t in range(n):
+            i = jnp.mod(p0 - t, 97)
+            j = jnp.mod(p0 - t - 64, 97)
+            uni = out_ref[i, 0] - out_ref[j, 0]
+            uni = uni + jnp.where(uni < _F32(0), _F32(1.0), _F32(0.0))
+            out_ref[i, 0] = uni
+            ci_t = jnp.mod(ci0 - jnp.int32((t + 1) * _RM_CD_I % _RM_CM_I),
+                           jnp.int32(_RM_CM_I))
+            c_t = ci_t.astype(_F32) * _INV24
+            out = uni - c_t
+            outs.append(out + jnp.where(out < _F32(0), _F32(1.0), _F32(0.0)))
+        return outs
+    raise ValueError(f"{name!r} is not a ref-based generator; "
+                     f"have {REF_STREAM_GENERATORS}")
 
 
 def open01(u):

@@ -231,11 +231,13 @@ def resolve_engine(cfg: SimConfig) -> str:
     if stream_gen is not None:
         from .ops.prng_streams import PALLAS_STREAM_GENERATORS
 
-        # counter-free generators run in-kernel on the fused engine
-        # (unsharded; the sharded Pallas path has no stream support);
-        # ranlux/ranmar carry draw counters whose cond logic stays XLA
+        # every PRNGCL generator runs in-kernel on the fused engine
+        # (counter-free ones as value-carried scans; ranlux/ranmar as
+        # ref-based lag windows with scalar-channel counters — see
+        # prng_streams REF_STREAM_GENERATORS), sharded or not: streams
+        # are site-local, so X/Y meshes shard them like the links and
+        # the general mesh logic below applies unchanged
         if (stream_gen not in PALLAS_STREAM_GENERATORS
-                or int(np.prod(cfg.mesh)) != 1
                 or cfg.track_acceptance):
             return "xla"
     if cfg.dtype != "complex64":

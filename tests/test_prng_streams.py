@@ -108,10 +108,16 @@ def test_sites_decorrelated():
     assert len(np.unique(seeds)) == seeds.size
 
 
-@pytest.mark.parametrize("name", ps.PALLAS_STREAM_GENERATORS)
+@pytest.mark.parametrize("name", [
+    g for g in ps.PALLAS_STREAM_GENERATORS
+    if g not in ps.REF_STREAM_GENERATORS
+])
 def test_kernel_draw_matches_dict(name):
-    """The unrolled list-state draws (Pallas in-kernel form) must be
-    bit-identical to the dict-based draws across carried state."""
+    """The unrolled list-state draws (Pallas in-kernel form of the
+    counter-free generators) must be bit-identical to the dict-based
+    draws across carried state.  (The ref-based generators' in-kernel
+    form is kernel_stream_draw_ref, bit-checked in
+    tests/test_pallas_stream.py::test_ref_kernel_draw_bit_matches_dense.)"""
     import jax
     import jax.numpy as jnp
 

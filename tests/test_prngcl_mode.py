@@ -22,14 +22,15 @@ CFG = dict(
 
 def test_resolves_to_xla_engine():
     # on CPU hosts every stream config resolves to the XLA engine; the
-    # counter generators do so everywhere (tests/test_pallas_stream.py
-    # covers the Pallas-eligible ones)
+    # whole generator family is Pallas-eligible on TPU now
+    # (tests/test_pallas_stream.py covers the in-kernel forms)
     assert resolve_engine(SimConfig(**CFG)) == "xla"
     assert resolve_engine(
         SimConfig(**{**CFG, "rng_mode": "prngcl:ranlux3"})
     ) == "xla"
-    with pytest.raises(ValueError, match="draw-count counter"):
-        SimConfig(**{**CFG, "rng_mode": "prngcl:ranmar", "engine": "pallas"})
+    # explicit engine='pallas' with a ref-based generator is a valid
+    # config (ranlux/ranmar run in-kernel via the lag-window kernels)
+    SimConfig(**{**CFG, "rng_mode": "prngcl:ranmar", "engine": "pallas"})
     with pytest.raises(ValueError, match="unknown PRNGCL generator"):
         SimConfig(**{**CFG, "rng_mode": "prngcl:nope"})
 
