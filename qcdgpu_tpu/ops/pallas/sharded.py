@@ -76,14 +76,30 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
 
     n = 2 if cfg.group == 2 else 3
 
-    def stage_apply(mu, parity, kind):
+    from ..prng_streams import REF_STREAM_GENERATORS, stream_mode_name
+
+    stream_gen = stream_mode_name(cfg.rng_mode)
+    scalar_names = ()
+    if stream_gen in REF_STREAM_GENERATORS:
+        scalar_names = ("nb",) if stream_gen.startswith("ranlux") else ("c",)
+        scalar_names = scalar_names + ("ptr",)
+
+    def stage_apply(mu, parity, kind, stream=False):
         return pupdate._stage_call(
             n, dims, mu, parity, kind, kw["k_trials"], kw["n_hit"],
             kw["metro_delta"], kw["rng_mode"], kw["interpret"],
-            local_x=local_x, local_y=local_y,
+            local_x=local_x, local_y=local_y, stream=stream,
         )
 
-    def sweep_local(us, base_key, sweep_idx, beta):
+    def sweep_local(state, base_key, sweep_idx, beta):
+        # state: us (plain mode) or (us, rst) in PRNGCL stream mode; rst's
+        # per-site words are shard-local (streams need no halos), its 0-d
+        # scalars are replicated — every shard draws the same count per
+        # site, so they advance identically.
+        if stream_gen is None:
+            us, rst = state, None
+        else:
+            us, rst = state
         x_offset = (jax.lax.axis_index("x").astype(jnp.uint32) * local_x
                     if local_x else None)
         y_offset = (jax.lax.axis_index("y").astype(jnp.uint32) * local_y
@@ -99,12 +115,41 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
         stage_id = 0
         for kind in kinds:
             for parity in (0, 1):
+                sfx = "_e" if parity == 0 else "_o"
                 for mu in range(NDIM):
                     key2 = rng.stage_key(base_key, sweep_idx, stage_id)
                     padded = tuple(pad(a) for a in us)
-                    new = stage_apply(mu, parity, kind)(
-                        key2, beta, padded, x_offset, y_offset
-                    )
+                    if stream_gen is None or kind == "overrelax":
+                        new = stage_apply(mu, parity, kind)(
+                            key2, beta, padded, x_offset, y_offset
+                        )
+                    else:
+                        from ..prng_streams import (
+                            advance_kernel_scalars,
+                            encode_kernel_scalars,
+                        )
+
+                        scal = ({s: rst[s + sfx] for s in scalar_names}
+                                if scalar_names else None)
+                        enc = (encode_kernel_scalars(stream_gen, scal)
+                               if scal else None)
+                        new, new_words = stage_apply(
+                            mu, parity, kind, stream=True
+                        )(key2, beta, padded, x_offset, y_offset,
+                          stream_state=rst["words" + sfx],
+                          stream_scalars=enc)
+                        rst = {**rst, "words" + sfx: new_words}
+                        if scal:
+                            per = pupdate._uniforms_per_subgroup(
+                                kind, kw["k_trials"], kw["n_hit"]
+                            )
+                            ndraw = (2 * ((per + 1) // 2)
+                                     * len(pupdate._subgroups(n)))
+                            adv = advance_kernel_scalars(
+                                stream_gen, scal, ndraw
+                            )
+                            rst = {**rst,
+                                   **{s + sfx: adv[s] for s in scalar_names}}
                     k = 2 * mu + parity
                     us = us[:k] + (new,) + us[k + 1:]
                     stage_id += 1
@@ -121,13 +166,24 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
                 (sweep_idx % cfg.reunit_every) == (cfg.reunit_every - 1),
                 do_reunit, lambda x: x, us,
             )
-        return us
+        return us if stream_gen is None else (us, rst)
 
     spec8 = tuple(P(None, None, None, "x", "y", None) for _ in range(8))
+    if stream_gen is None:
+        state_specs = spec8
+    else:
+        # stream-state specs: per-site word arrays shard like the links
+        # ([W, X, Y, ZT2] over "x"/"y"); 0-d scalar leaves replicate
+        word_spec = P(None, "x", "y", None)
+        rst_specs = {"words_e": word_spec, "words_o": word_spec}
+        for s in scalar_names:
+            rst_specs[s + "_e"] = P()
+            rst_specs[s + "_o"] = P()
+        state_specs = (spec8, rst_specs)
     sweep_sharded = jax.shard_map(
         sweep_local, mesh=mesh,
-        in_specs=(spec8, P(None), P(), P()),
-        out_specs=spec8,
+        in_specs=(state_specs, P(None), P(), P()),
+        out_specs=state_specs,
         check_vma=False,
     )
 
@@ -137,10 +193,31 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
     beta = jnp.float32(cfg.beta)
     # measurement via the XLA path on the reconstructed complex field:
     # XLA's SPMD partitioner turns its rolls into halo exchanges
-    return build_chunk_runner(
+    if stream_gen is None:
+        return build_chunk_runner(
+            cfg,
+            lambda us, key, i: sweep_sharded(us, key, i, beta),
+            lambda us: measure_fn(join_links(us, dims)),
+            pack=split_links,
+            unpack=lambda us: join_links(us, dims),
+        )
+    # PRNGCL stream mode: runner state is (us, rst), the same contract as
+    # engine.make_pallas_chunk_runner — reuse its state builders so the
+    # sharded and unsharded Pallas stream modes share one provenance
+    # (per-site streams make sharded == unsharded bit-identical).
+    from .engine import make_pallas_chunk_runner
+
+    run = build_chunk_runner(
         cfg,
-        lambda us, key, i: sweep_sharded(us, key, i, beta),
-        lambda us: measure_fn(join_links(us, dims)),
+        lambda st, key, i: sweep_sharded(st, key, i, beta),
+        lambda st: measure_fn(join_links(st[0], dims)),
         pack=split_links,
         unpack=lambda us: join_links(us, dims),
     )
+    twin = make_pallas_chunk_runner(
+        cfg.replace(mesh=(1, 1, 1, 1)), interpret=interpret
+    )
+    run.make_stream_state0 = twin.make_stream_state0
+    run.stream_hot_start = twin.stream_hot_start
+    run.stream_state_keys = twin.stream_state_keys
+    return run
