@@ -49,7 +49,17 @@ _RETRY_ENV = "QCDGPU_BENCH_RETRY"
 _MAX_RETRIES = 2
 
 _printed = threading.Lock()  # acquired exactly once by whoever prints
-_best = {"result": None, "error": None, "phase": "start"}
+_best = {"result": None, "error": None, "phase": "start",
+         "phase_t0": time.monotonic()}
+
+# a jax.devices() call through a wedged tunnel can HANG (not raise) —
+# observed: 15+ min stuck in the device query with the process at ~0% CPU.
+# The exception-based retry never fires there, so a dedicated stall monitor
+# re-execs the process (fresh tunnel connection) when the pre-compile
+# phases exceed this budget.  Compile phases are exempt: a cold XLA compile
+# legitimately takes minutes, only the global watchdog bounds those.
+_STALL_PHASES = ("start", "querying devices")
+_PHASE_STALL_S = float(os.environ.get("QCDGPU_BENCH_STALL_S", "240"))
 
 
 def _deadline() -> float:
@@ -61,6 +71,7 @@ def _deadline() -> float:
 
 def _log(msg: str) -> None:
     _best["phase"] = msg
+    _best["phase_t0"] = time.monotonic()
     print(f"# [{time.strftime('%H:%M:%S')} +{time.monotonic() - _T0:.0f}s] "
           f"{msg}", file=sys.stderr, flush=True)
 
@@ -102,7 +113,39 @@ def _watchdog(deadline: float) -> None:
                     f"wall-clock budget expired in phase: {_best['phase']}"
                 )
             _emit_and_exit(0)
+        if (_best["phase"] in _STALL_PHASES
+                and time.monotonic() - _best["phase_t0"] > _PHASE_STALL_S):
+            # hung tunnel: the main thread is stuck inside a C call that
+            # never raises — re-exec for a fresh connection.  os.execve
+            # from this thread replaces the whole process image, so the
+            # stuck main thread dies with it.
+            _stall_reexec(_best["phase"])
         time.sleep(min(left - 14.0, 5.0))
+
+
+def _stall_reexec(phase: str) -> None:
+    tries = int(os.environ.get(_RETRY_ENV, "0"))
+    if tries >= _MAX_RETRIES or _deadline() - time.time() < 120:
+        # out of retries: do NOT emit yet — the hung call may still return
+        # (tunnel outages recover), and waiting costs nothing because the
+        # global watchdog emits the identical error line at the deadline.
+        if not _best.get("stall_final"):
+            _best["stall_final"] = True
+            _best["error"] = (
+                f"stalled >{_PHASE_STALL_S:.0f}s in phase {phase!r} "
+                f"after {tries} retries (tunnel hang)"
+            )
+            _log(f"{_best['error']}; waiting out the budget for a late "
+                 f"recovery")
+            # _log repointed the phase at the stall message; restore the
+            # true phase so the emitted JSON's last_phase stays meaningful
+            _best["phase"] = phase
+        return
+    _log(f"stalled >{_PHASE_STALL_S:.0f}s in phase {phase!r}; "
+         f"re-exec retry {tries + 1}/{_MAX_RETRIES}")
+    env = dict(os.environ, **{_RETRY_ENV: str(tries + 1)})
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)], env)
 
 
 def _bench_mesh():

@@ -47,7 +47,8 @@ class SimConfig:
     fmunu_index1: int = 0
     fmunu_index2: int = 0
     # Metropolis acceptance-rate tracking (QCDGPU reports acceptance in its
-    # results file); adds an "acc_rate" observable column.  XLA engine only.
+    # results file); adds an "acc_rate" observable column.  Runs on both
+    # engines (the Pallas kernels accumulate accepted-hit counts in SMEM).
     track_acceptance: bool = False
     # Rectangular Wilson loops W(R, T) — R spatial, T temporal, averaged
     # over sites and the three (i, t) planes; one "wloop_RxT" column per
@@ -153,11 +154,6 @@ class SimConfig:
                 )
         if self.track_acceptance and self.algorithm != "metropolis":
             raise ValueError("track_acceptance requires algorithm='metropolis'")
-        if self.track_acceptance and self.engine == "pallas":
-            raise ValueError(
-                "track_acceptance is an XLA-engine feature (engine='xla' or "
-                "'auto', which resolves to the XLA engine when tracking)"
-            )
         if self.engine == "xla" and self.rng_mode == "hw":
             raise ValueError(
                 "rng_mode='hw' (TPU hardware PRNG) is a Pallas-engine "

@@ -64,10 +64,10 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
             "all ones); parallelize a scan over devices with chain_mesh"
         )
     # cfg.track_acceptance: the per-chain sweep accumulates the Metropolis
-    # acceptance (sim.make_sweep_fn with_acc) and every chain contributes
-    # its own acc_rate column — QCDGPU reports acceptance per run, and a
-    # scan is C runs (VERDICT r1 weak #8).  resolve_engine routes
-    # acceptance-tracking configs to the XLA chain path below.
+    # acceptance (in-kernel SMEM counts on the Pallas chain path,
+    # sim.make_sweep_fn with_acc on XLA) and every chain contributes its
+    # own acc_rate column — QCDGPU reports acceptance per run, and a scan
+    # is C runs (VERDICT r1 weak #8).
     with_acc = bool(cfg.track_acceptance)
     if chain_mesh is not None:
         nshards = chain_mesh.shape["c"]
@@ -86,7 +86,8 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
         from ..ops.pallas import engine as peng
 
         dims = tuple(cfg.dims)
-        chain_sweep = peng.make_pallas_sweep(cfg, interpret=interpret)
+        chain_sweep = peng.make_pallas_sweep(cfg, interpret=interpret,
+                                             with_acc=with_acc)
         chain_pack = peng.split_links
         chain_unpack = lambda s: peng.join_links(s, dims)
         chain_measure = lambda s: peng.measure_all_split(

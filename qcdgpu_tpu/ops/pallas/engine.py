@@ -149,8 +149,14 @@ def join_links(us, dims):
 # ---------------------------------------------------------------------------
 
 
-def make_pallas_sweep(cfg: SimConfig, interpret=False):
-    """sweep(us, base_key, sweep_idx) -> us'.
+def make_pallas_sweep(cfg: SimConfig, interpret=False, with_acc=False):
+    """sweep(us, base_key, sweep_idx) -> us'  (or (us', acc_rate) with
+    with_acc: the mean Metropolis acceptance over the sweep's update
+    stages, accumulated IN-KERNEL as int32 SMEM counts — QCDGPU's
+    acceptance-rate report at fused-engine throughput.  NB the Pallas
+    fraction averages over the ACTIVE parity's sites only, while the XLA
+    engine's averages over all sites including the discarded half's
+    trials — statistically equivalent, not bit-equal across engines).
 
     Stage order and RNG stage ids exactly mirror sim.make_sweep_fn so the
     two engines draw the same randomness.
@@ -187,22 +193,37 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False):
             )
         return us
 
+    # acceptance normalization: active sites per stage x hits x subgroups
+    n_sg = 1 if cfg.group == 2 else 3
+    vol2 = dims[0] * dims[1] * dims[2] * dims[3] // 2
+    met_stages = 8 if cfg.algorithm == "metropolis" else 0
+    acc_denom = jnp.float32(max(met_stages * vol2 * cfg.n_hit * n_sg, 1))
+
     def sweep(us, base_key, sweep_idx, beta=None):
         # beta=None uses the static cfg.beta; a traced scalar supports the
         # beta-scan/ensemble path with one compiled kernel per stage.
         b = cfg.beta if beta is None else beta
         stage_id = 0
+        acc_cnt = jnp.int32(0)
         for kind in kinds:
+            track = with_acc and kind == "metropolis"
             for parity in (0, 1):
                 for mu in range(NDIM):
                     key2 = rng.stage_key(base_key, sweep_idx, stage_id)
                     new = pupdate.stage_update(
-                        us, mu, parity, kind, b, key2, dims, **kw
+                        us, mu, parity, kind, b, key2, dims,
+                        track_acc=track, **kw
                     )
+                    if track:
+                        new, cnt = new
+                        acc_cnt = acc_cnt + cnt
                     k = 2 * mu + parity
                     us = us[:k] + (new,) + us[k + 1:]
                     stage_id += 1
-        return finish(us, sweep_idx)
+        us = finish(us, sweep_idx)
+        if with_acc:
+            return us, acc_cnt.astype(jnp.float32) / acc_denom
+        return us
 
     if stream_gen is None:
         return sweep
@@ -220,7 +241,9 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False):
         us, rst = state
         b = cfg.beta if beta is None else beta
         stage_id = 0
+        acc_cnt = jnp.int32(0)
         for kind in kinds:
+            track = with_acc and kind == "metropolis"
             for parity in (0, 1):
                 sfx = "_e" if parity == 0 else "_o"
                 pkey = "words" + sfx
@@ -232,23 +255,32 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False):
                         )
                     elif scalar_names:
                         scal = {s: rst[s + sfx] for s in scalar_names}
-                        new, new_rst, scal2 = pupdate.stage_update(
+                        out = pupdate.stage_update(
                             us, mu, parity, kind, b, key2, dims,
                             stream_state=rst[pkey], stream_scalars=scal,
-                            **kw
+                            track_acc=track, **kw
                         )
+                        new, new_rst, scal2 = out[0], out[1], out[2]
+                        if track:
+                            acc_cnt = acc_cnt + out[3]
                         rst = {**rst, pkey: new_rst,
                                **{s + sfx: scal2[s] for s in scalar_names}}
                     else:
-                        new, new_rst = pupdate.stage_update(
+                        out = pupdate.stage_update(
                             us, mu, parity, kind, b, key2, dims,
-                            stream_state=rst[pkey], **kw
+                            stream_state=rst[pkey], track_acc=track, **kw
                         )
+                        new, new_rst = out[0], out[1]
+                        if track:
+                            acc_cnt = acc_cnt + out[2]
                         rst = {**rst, pkey: new_rst}
                     k = 2 * mu + parity
                     us = us[:k] + (new,) + us[k + 1:]
                     stage_id += 1
-        return finish(us, sweep_idx), rst
+        st = (finish(us, sweep_idx), rst)
+        if with_acc:
+            return st, acc_cnt.astype(jnp.float32) / acc_denom
+        return st
 
     return stream_sweep
 
@@ -306,17 +338,18 @@ def make_pallas_chunk_runner(cfg: SimConfig, interpret=False):
 
     dims = tuple(cfg.dims)
     stream_gen = stream_mode_name(cfg.rng_mode)
-    sweep = make_pallas_sweep(cfg, interpret=interpret)
+    with_acc = bool(cfg.track_acceptance)
+    sweep = make_pallas_sweep(cfg, interpret=interpret, with_acc=with_acc)
     meas = lambda us: measure_all_split(us, dims, interpret=interpret, cfg=cfg)
     if stream_gen is None:
         return build_chunk_runner(
             cfg, sweep, meas, pack=split_links,
-            unpack=lambda us: join_links(us, dims),
+            unpack=lambda us: join_links(us, dims), with_acc=with_acc,
         )
 
     run = build_chunk_runner(
         cfg, sweep, lambda st: meas(st[0]), pack=split_links,
-        unpack=lambda us: join_links(us, dims),
+        unpack=lambda us: join_links(us, dims), with_acc=with_acc,
     )
 
     def pack_state(dense_state):

@@ -84,12 +84,23 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
         scalar_names = ("nb",) if stream_gen.startswith("ranlux") else ("c",)
         scalar_names = scalar_names + ("ptr",)
 
-    def stage_apply(mu, parity, kind, stream=False):
+    def stage_apply(mu, parity, kind, stream=False, track_acc=False):
         return pupdate._stage_call(
             n, dims, mu, parity, kind, kw["k_trials"], kw["n_hit"],
             kw["metro_delta"], kw["rng_mode"], kw["interpret"],
             local_x=local_x, local_y=local_y, stream=stream,
+            track_acc=track_acc,
         )
+
+    # Metropolis acceptance tracking: per-shard in-kernel counts, psummed
+    # over the lattice mesh axes, normalized to the global active-site
+    # fraction (engine.make_pallas_sweep has the unsharded twin)
+    with_acc = bool(cfg.track_acceptance)
+    acc_axes = (("x",) if local_x else ()) + (("y",) if local_y else ())
+    n_sg = 1 if cfg.group == 2 else 3
+    vol2 = dims[0] * dims[1] * dims[2] * dims[3] // 2
+    met_stages = 8 if cfg.algorithm == "metropolis" else 0
+    acc_denom = jnp.float32(max(met_stages * vol2 * cfg.n_hit * n_sg, 1))
 
     def sweep_local(state, base_key, sweep_idx, beta):
         # state: us (plain mode) or (us, rst) in PRNGCL stream mode; rst's
@@ -113,16 +124,21 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
             return a
 
         stage_id = 0
+        acc_cnt = jnp.int32(0)
         for kind in kinds:
+            track = with_acc and kind == "metropolis"
             for parity in (0, 1):
                 sfx = "_e" if parity == 0 else "_o"
                 for mu in range(NDIM):
                     key2 = rng.stage_key(base_key, sweep_idx, stage_id)
                     padded = tuple(pad(a) for a in us)
                     if stream_gen is None or kind == "overrelax":
-                        new = stage_apply(mu, parity, kind)(
+                        new = stage_apply(mu, parity, kind, track_acc=track)(
                             key2, beta, padded, x_offset, y_offset
                         )
+                        if track:
+                            new, acc_arr = new
+                            acc_cnt = acc_cnt + acc_arr[0, 0]
                     else:
                         from ..prng_streams import (
                             advance_kernel_scalars,
@@ -133,11 +149,14 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
                                 if scalar_names else None)
                         enc = (encode_kernel_scalars(stream_gen, scal)
                                if scal else None)
-                        new, new_words = stage_apply(
-                            mu, parity, kind, stream=True
+                        out = stage_apply(
+                            mu, parity, kind, stream=True, track_acc=track
                         )(key2, beta, padded, x_offset, y_offset,
                           stream_state=rst["words" + sfx],
                           stream_scalars=enc)
+                        new, new_words = out[0], out[1]
+                        if track:
+                            acc_cnt = acc_cnt + out[2][0, 0]
                         rst = {**rst, "words" + sfx: new_words}
                         if scal:
                             per = pupdate._uniforms_per_subgroup(
@@ -166,7 +185,14 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
                 (sweep_idx % cfg.reunit_every) == (cfg.reunit_every - 1),
                 do_reunit, lambda x: x, us,
             )
-        return us if stream_gen is None else (us, rst)
+        st = us if stream_gen is None else (us, rst)
+        if with_acc:
+            # global accepted-hit count: sum the shard-local kernels'
+            # counts over the lattice mesh axes (replicated thereafter)
+            total = (jax.lax.psum(acc_cnt, acc_axes) if acc_axes
+                     else acc_cnt)
+            return st, total.astype(jnp.float32) / acc_denom
+        return st
 
     spec8 = tuple(P(None, None, None, "x", "y", None) for _ in range(8))
     if stream_gen is None:
@@ -183,7 +209,7 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
     sweep_sharded = jax.shard_map(
         sweep_local, mesh=mesh,
         in_specs=(state_specs, P(None), P(), P()),
-        out_specs=state_specs,
+        out_specs=(state_specs, P()) if with_acc else state_specs,
         check_vma=False,
     )
 
@@ -200,6 +226,7 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
             lambda us: measure_fn(join_links(us, dims)),
             pack=split_links,
             unpack=lambda us: join_links(us, dims),
+            with_acc=with_acc,
         )
     # PRNGCL stream mode: runner state is (us, rst), the same contract as
     # engine.make_pallas_chunk_runner — reuse its state builders so the
@@ -213,6 +240,7 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
         lambda st: measure_fn(join_links(st[0], dims)),
         pack=split_links,
         unpack=lambda us: join_links(us, dims),
+        with_acc=with_acc,
     )
     twin = make_pallas_chunk_runner(
         cfg.replace(mesh=(1, 1, 1, 1)), interpret=interpret

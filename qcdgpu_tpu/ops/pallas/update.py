@@ -136,10 +136,15 @@ def overrelax_flip(q_w):
     return tuple(jnp.where(good, u[c], ident[c]) for c in range(4))
 
 
-def metropolis_flip(q_w, two_beta_over_n, uu, n_hit, delta):
+def metropolis_flip(q_w, two_beta_over_n, uu, n_hit, delta, with_acc=False):
+    """With with_acc also returns the slab's accepted-hit COUNT (int32
+    scalar, summed over sites x hits) — the in-kernel form of QCDGPU's
+    acceptance-rate report (the stage kernel accumulates it across the X
+    grid in SMEM; the sweep normalizes to a fraction)."""
     acc_u = _identity_quat(q_w[0].shape)
     q_cur = q_w
     ident = _identity_quat(q_w[0].shape)
+    n_acc = jnp.int32(0)
     for h in range(n_hit):
         u = uu[4 * h : 4 * (h + 1)]
         w1 = delta * (2.0 * u[0] - 1.0)
@@ -151,9 +156,13 @@ def metropolis_flip(q_w, two_beta_over_n, uu, n_hit, delta):
         new0 = quat_mul(w, q_cur)[0]
         dlp = two_beta_over_n * (new0 - q_cur[0])
         accept = fm.log_u01(u[3]) < dlp
+        if with_acc:
+            n_acc = n_acc + jnp.sum(accept.astype(jnp.int32))
         w_eff = tuple(jnp.where(accept, w[c], ident[c]) for c in range(4))
         acc_u = quat_mul(w_eff, acc_u)
         q_cur = quat_mul(w_eff, q_cur)
+    if with_acc:
+        return acc_u, n_acc
     return acc_u
 
 
@@ -319,13 +328,20 @@ def _uniforms_per_subgroup(kind, k_trials, n_hit):
 
 def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
                   k_trials, n_hit, metro_delta, rng_mode, slabs, local_y,
-                  stream_gen=None):
+                  stream_gen=None, track_acc=False):
     # scalar-prefetch layout: [k0, k1, x_offset, y_offset] — the global
     # coordinates of this shard's first slab/row (0 when unsharded), so
     # parities and threefry site keys are global and sharded chains are
     # bit-identical.  beta arrives as a (1, 1) SMEM scalar so one compiled
     # kernel serves every coupling — the beta-scan/ensemble path passes a
     # traced beta.
+    o_acc_ref = None
+    if track_acc:
+        # Metropolis acceptance tracking: the accepted-hit count rides as
+        # a trailing (1, 1) int32 SMEM output, accumulated across the X
+        # grid (same pattern as the measurement reductions)
+        o_acc_ref = refs[-1]
+        refs = refs[:-1]
     if stream_gen is not None:
         # PRNGCL stream mode: the active parity's per-site generator state
         # rides as an extra input block + output block
@@ -393,6 +409,7 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
 
     # --- Cabibbo–Marinari subgroup sweep ---------------------------------
     two_beta_over_n = beta * jnp.float32(2.0 / n)
+    acc_total = jnp.int32(0)
     for s, (i, j) in enumerate(sgs):
         q_w = quat_from_block(w, i, j)
         if kind == "heatbath":
@@ -403,7 +420,10 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
         elif kind == "metropolis":
             u_s = u_all[2 * per_slots * s : 2 * per_slots * s + per]
             flip = metropolis_flip(q_w, two_beta_over_n, u_s, n_hit,
-                                   metro_delta)
+                                   metro_delta, with_acc=track_acc)
+            if track_acc:
+                flip, cnt = flip
+                acc_total = acc_total + cnt
         else:
             raise ValueError(kind)
         u_mu = subgroup_left_mul(flip, i, j, u_mu)
@@ -411,11 +431,17 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
 
     core.store_mat_packed(o_ref, u_mu, n)
 
+    if track_acc:
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            o_acc_ref[0, 0] = 0
+        o_acc_ref[0, 0] += acc_total
+
 
 @lru_cache(maxsize=None)
 def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
                 metro_delta, rng_mode, interpret, local_x=0, local_y=0,
-                stream=False):
+                stream=False, track_acc=False):
     """Build the jit-able pallas_call for one (mu, parity, kind) stage.
 
     local_x == 0: single-device kernel over the full X extent (X±1 halos
@@ -484,6 +510,16 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
         out_shape = (out_shape, jax.ShapeDtypeStruct(
             (w, grid_x, out_y, ZT2), stream_word_dtype(stream_gen)
         ))
+    if track_acc:
+        # accepted-hit count: trailing (1, 1) int32 SMEM output
+        acc_spec = pl.BlockSpec(
+            (1, 1), lambda i, _kref: (0, 0), memory_space=pltpu.SMEM
+        )
+        acc_shape = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+        if not isinstance(out_specs, tuple):
+            out_specs, out_shape = (out_specs,), (out_shape,)
+        out_specs = out_specs + (acc_spec,)
+        out_shape = out_shape + (acc_shape,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid_x,),
@@ -494,7 +530,7 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
         _stage_kernel, mu=mu, parity=parity, kind=kind, n=n, dims=dims,
         k_trials=k_trials, n_hit=n_hit, metro_delta=metro_delta,
         rng_mode=rng_mode, slabs=slabs, local_y=local_y,
-        stream_gen=stream_gen,
+        stream_gen=stream_gen, track_acc=track_acc,
     )
     call = pl.pallas_call(
         kern,
@@ -528,7 +564,8 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
 
 def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
                  n_hit=3, metro_delta=0.35, rng_mode="threefry",
-                 interpret=False, stream_state=None, stream_scalars=None):
+                 interpret=False, stream_state=None, stream_scalars=None,
+                 track_acc=False):
     """One fused checkerboard stage on packed state.
 
     us: tuple of 8 arrays [2, N, 2, X, Y, Z*T/2] indexed us[2*mu + parity]
@@ -541,15 +578,26 @@ def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
     (prng_streams.stream_kernel_scalars order) — encoded onto the scalar
     prefetch channel here, advanced in closed form on return, so the
     caller gets (new_links, new_state, new_scalars).
+    track_acc (metropolis only): the return tuple additionally ends with
+    the stage's accepted-hit COUNT (0-d int32; active sites x hits summed
+    in-kernel) — QCDGPU's acceptance report, accumulated on-device.
     """
     n = us[0].shape[1]
     apply = _stage_call(
         n, tuple(dims), mu, parity, kind, int(k_trials),
         int(n_hit), float(metro_delta), rng_mode, bool(interpret),
-        stream=stream_state is not None,
+        stream=stream_state is not None, track_acc=bool(track_acc),
     )
+
+    def unwrap(out):
+        """Flatten the pallas_call output tuple + unwrap the acc scalar."""
+        if not track_acc:
+            return out
+        *rest, acc = out
+        return (*rest, acc[0, 0])
+
     if stream_scalars is None:
-        return apply(key2, beta, us, stream_state=stream_state)
+        return unwrap(apply(key2, beta, us, stream_state=stream_state))
     from ..prng_streams import (
         advance_kernel_scalars,
         encode_kernel_scalars,
@@ -558,12 +606,14 @@ def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
 
     gen = stream_mode_name(rng_mode)
     enc = encode_kernel_scalars(gen, stream_scalars)
-    new_links, new_state = apply(
+    out = apply(
         key2, beta, us, stream_state=stream_state, stream_scalars=enc
     )
+    new_links, new_state = out[0], out[1]
     sgs = _subgroups(n)
     per = _uniforms_per_subgroup(kind, k_trials, n_hit)
     ndraw = 2 * ((per + 1) // 2) * len(sgs)
-    return new_links, new_state, advance_kernel_scalars(
-        gen, stream_scalars, ndraw
-    )
+    adv = advance_kernel_scalars(gen, stream_scalars, ndraw)
+    if track_acc:
+        return new_links, new_state, adv, out[2][0, 0]
+    return new_links, new_state, adv

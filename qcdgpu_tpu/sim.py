@@ -237,13 +237,9 @@ def resolve_engine(cfg: SimConfig) -> str:
         # prng_streams REF_STREAM_GENERATORS), sharded or not: streams
         # are site-local, so X/Y meshes shard them like the links and
         # the general mesh logic below applies unchanged
-        if (stream_gen not in PALLAS_STREAM_GENERATORS
-                or cfg.track_acceptance):
+        if stream_gen not in PALLAS_STREAM_GENERATORS:
             return "xla"
     if cfg.dtype != "complex64":
-        return "xla"
-    if cfg.track_acceptance:
-        # acceptance accumulation is an XLA-engine feature
         return "xla"
     if getattr(cfg, "meas_dtype", "same") == "double":
         # double-precision measurement sums (QCDGPU's PRECISION=mixed)
@@ -288,7 +284,7 @@ def make_chunk_runner(cfg: SimConfig):
         return make_pallas_chunk_runner(cfg)
     if cfg.rng_mode == "hw":
         # engine='auto' resolved to XLA (CPU backend, float64, Z/T mesh,
-        # acceptance tracking, ...) — the XLA path has no hardware-PRNG
+        # ...) — the XLA path has no hardware-PRNG
         # mode, so the run draws threefry streams instead of silently
         # misreporting rng_mode='hw' provenance
         import warnings

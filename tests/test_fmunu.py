@@ -151,9 +151,10 @@ def test_metropolis_acceptance_tracking():
 def test_track_acceptance_validation():
     with pytest.raises(ValueError):
         SimConfig(algorithm="heatbath", track_acceptance=True)
-    with pytest.raises(ValueError):
-        SimConfig(algorithm="metropolis", track_acceptance=True,
-                  engine="pallas")
+    # acceptance tracking runs on BOTH engines (in-kernel SMEM counts on
+    # Pallas) — an explicit pallas pin is valid config
+    SimConfig(algorithm="metropolis", track_acceptance=True,
+              engine="pallas")
 
 
 def test_pallas_measure_split_with_fmunu_interpret():

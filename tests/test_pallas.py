@@ -201,3 +201,54 @@ def test_polyakov_kernel_any_t(t_ext):
     ref_re, ref_im = polyakov_from_ut(u[3])
     assert abs(float(sre) / n_spatial - float(ref_re)) < 2e-6
     assert abs(float(sim_) / n_spatial - float(ref_im)) < 2e-6
+
+
+def test_stage_acceptance_count(u0, us):
+    """In-kernel Metropolis acceptance counting (trailing SMEM int32
+    output): tracking must not perturb the update itself, the count must
+    be deterministic, and it must land in the plausible mid-range for a
+    hot start (per stage: vol/2 active sites x n_hit x 3 subgroups)."""
+    cfg = _cfg(algorithm="metropolis")
+    key2 = rng.stage_key(rng.make_base_key(1), 0, 5)
+    kw = dict(k_trials=cfg.kp_trials, n_hit=cfg.n_hit,
+              metro_delta=cfg.metro_delta, interpret=True)
+    plain = pupd.stage_update(us, 1, 1, "metropolis", cfg.beta, key2,
+                              DIMS, **kw)
+    new, cnt = pupd.stage_update(us, 1, 1, "metropolis", cfg.beta, key2,
+                                 DIMS, track_acc=True, **kw)
+    assert float(jnp.max(jnp.abs(new - plain))) == 0.0
+    _, cnt2 = pupd.stage_update(us, 1, 1, "metropolis", cfg.beta, key2,
+                                DIMS, track_acc=True, **kw)
+    assert int(cnt) == int(cnt2)
+    trials = int(np.prod(DIMS)) // 2 * cfg.n_hit * 3
+    assert 0.2 * trials < int(cnt) < trials
+
+
+@pytest.mark.slow
+def test_chunk_runner_tracks_acceptance(u0):
+    """In-kernel Metropolis acceptance (SMEM int32 counts) vs the XLA
+    engine's accumulator.  The Pallas fraction averages over the ACTIVE
+    parity's sites only while XLA's includes the discarded half's trials,
+    so values agree statistically, not bitwise."""
+    cfg = _cfg(algorithm="metropolis", track_acceptance=True,
+               reunit_every=2, engine="xla")
+    from qcdgpu_tpu.ops.measure import obs_names
+    from qcdgpu_tpu.sim import make_chunk_runner
+
+    names = list(obs_names(cfg))
+    k = names.index("acc_rate")
+    key = rng.make_base_key(1)
+    run_x = make_chunk_runner(cfg)
+    _, obs_x = run_x(u0.astype(jnp.complex64), key, 0, 4, 2)
+
+    run_p = peng.make_pallas_chunk_runner(cfg, interpret=True)
+    _, obs_p = run_p(u0, key, 0, 4, 2)
+    assert obs_p.shape[-1] == len(names)
+    acc_p, acc_x = np.asarray(obs_p)[:, k], np.asarray(obs_x)[:, k]
+    assert np.all((acc_p > 0.05) & (acc_p <= 1.0)), acc_p
+    # 128-site lattice, 3 hits, 3 subgroups: ~0.03 statistical spread
+    np.testing.assert_allclose(acc_p, acc_x, atol=0.1)
+    # determinism: same program, same counts
+    _, obs_p2 = run_p(u0, key, 0, 4, 2)
+    np.testing.assert_array_equal(np.asarray(obs_p)[:, k],
+                                  np.asarray(obs_p2)[:, k])

@@ -194,3 +194,34 @@ def test_xy_sharded_stage_matches_xla(setup, parity, mu):
     us2 = us[:k] + (new,) + us[k + 1:]
     got = peng.join_dir((us2[2 * mu], us2[2 * mu + 1]), DIMS, 3)
     assert float(jnp.max(jnp.abs(got - ref))) < 2e-5
+
+
+@slow
+def test_sharded_acceptance_matches_unsharded():
+    """track_acceptance on the sharded runner: shard-local SMEM counts
+    psummed over the lattice mesh axes must reproduce the unsharded
+    Pallas engine's acc_rate column (same threefry draws; a rounding-
+    order flip of a marginal accept can move the count by O(1))."""
+    from qcdgpu_tpu.ops.measure import obs_names
+    from qcdgpu_tpu.ops.pallas.engine import make_pallas_chunk_runner
+    from qcdgpu_tpu.ops.pallas.sharded import make_sharded_chunk_runner
+
+    sdims = (4, 4, 2, 4)
+    cfg = SimConfig(group=2, dims=sdims, beta=2.4, seed=11, reunit_every=2,
+                    algorithm="metropolis", track_acceptance=True)
+    key = rng.make_base_key(cfg.seed)
+    u0 = hot_start(cfg, key).astype(jnp.complex64)
+    k = list(obs_names(cfg)).index("acc_rate")
+
+    run_1 = make_pallas_chunk_runner(cfg, interpret=True)
+    _, obs_ref = run_1(u0, key, 0, 2, 2)
+
+    mesh = make_mesh((2, 2, 1, 1))
+    run_n = make_sharded_chunk_runner(
+        cfg.replace(mesh=(2, 2, 1, 1)), mesh, interpret=True
+    )
+    _, obs_sh = run_n(u0, key, 0, 2, 2)
+    acc_ref = np.asarray(obs_ref)[:, k]
+    acc_sh = np.asarray(obs_sh)[:, k]
+    assert np.all((acc_ref > 0.05) & (acc_ref <= 1.0)), acc_ref
+    np.testing.assert_allclose(acc_sh, acc_ref, atol=5e-3)
