@@ -161,11 +161,9 @@ class SimConfig:
             )
         if self.engine == "pallas" and self.dtype != "complex64":
             raise ValueError("the pallas engine is float32 (complex64) only")
-        if self.engine == "pallas" and self.meas_dtype == "double":
-            raise ValueError(
-                "meas_dtype='double' is an XLA-engine feature (engine='xla' "
-                "or 'auto', which resolves to the XLA engine for it)"
-            )
+        # meas_dtype="double" is valid on every engine: complex128 sums on
+        # the XLA/CPU path, Kahan-compensated f32 reductions on the Pallas
+        # engine (TPU has no f64) — see sim.resolve_engine
         if not 0 <= self.n_or <= 7:
             # 8 * (1 + n_or) update/OR stages per sweep must fit the
             # 64-stage RNG key namespace shared by both engines

@@ -241,16 +241,21 @@ def resolve_engine(cfg: SimConfig) -> str:
             return "xla"
     if cfg.dtype != "complex64":
         return "xla"
-    if getattr(cfg, "meas_dtype", "same") == "double":
-        # double-precision measurement sums (QCDGPU's PRECISION=mixed)
-        # are evaluated by make_measure_fn on the XLA path only
-        return "xla"
     try:
         devs = jax.devices()
         plat = devs[0].platform
     except Exception:
         return "xla"
     on_tpu = plat in ("tpu", "axon")
+    if getattr(cfg, "meas_dtype", "same") == "double" and not on_tpu:
+        # double-precision measurement sums (QCDGPU's PRECISION=mixed):
+        # true complex128 evaluation lives in make_measure_fn on the XLA
+        # path, which needs x64 — CPU only.  TPU has no f64 at all, so
+        # there "double" means the Pallas engine's Kahan-compensated f32
+        # reductions (ops/pallas/measure.py) — the highest-precision
+        # measurement sum the hardware admits — and the config proceeds
+        # to the fused engine below.
+        return "xla"
     n_mesh = int(np.prod(cfg.mesh))
     if n_mesh != 1:
         # multi-device: the fused X/Y-sharded Pallas engine when the mesh

@@ -191,3 +191,22 @@ def test_meas_dtype_double():
     f32 = np.asarray(make_measure_fn(cfg.replace(meas_dtype="same"))(sim.u))
     f64 = np.asarray(make_measure_fn(cfg)(sim.u))
     assert np.allclose(f32, f64, atol=1e-5)
+
+
+def test_meas_dtype_double_on_pallas_engine():
+    """On the Pallas engine "double" means the Kahan-compensated f32
+    reductions that are always on — the measurement must be bit-identical
+    to meas_dtype='same' and the config must build a runner."""
+    from qcdgpu_tpu.ops import rng
+    from qcdgpu_tpu.ops.pallas.engine import measure_all_split, split_links
+    from qcdgpu_tpu.sim import hot_start, make_chunk_runner
+
+    cfg = SimConfig(group=3, dims=(4, 4, 4, 4), beta=6.0,
+                    meas_dtype="double", engine="pallas")
+    us = split_links(hot_start(cfg, rng.make_base_key(3)).astype(jnp.complex64))
+    a = np.asarray(measure_all_split(us, cfg.dims, interpret=True, cfg=cfg))
+    b = np.asarray(measure_all_split(
+        us, cfg.dims, interpret=True, cfg=cfg.replace(meas_dtype="same")
+    ))
+    np.testing.assert_array_equal(a, b)
+    make_chunk_runner(cfg.replace(engine="pallas"))
