@@ -523,6 +523,12 @@ def main(argv=None):
     from .utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    # one early heartbeat before the first backend touch: a wedged device
+    # tunnel hangs inside the query without raising, and a run that sits
+    # silent for minutes is undiagnosable from its output alone
+    print(f"# [{time.strftime('%H:%M:%S')}] initializing accelerator "
+          "backend (a silent hang here means the device tunnel is down)",
+          file=sys.stderr, flush=True)
     return args.fn(args)
 
 
