@@ -113,14 +113,16 @@ class SimConfig:
                         "engine='xla'/'auto', or one of "
                         f"{PALLAS_STREAM_GENERATORS} on the Pallas engine"
                     )
-                if self.mesh[2] != 1 or self.mesh[3] != 1:
-                    raise ValueError(
-                        "the sharded Pallas engine decomposes along X/Y "
-                        "only; Z/T meshes run on the XLA engine "
-                        "(engine='auto' picks it)"
-                    )
         elif self.rng_mode not in ("threefry", "hw"):
             raise ValueError(f"unknown rng_mode {self.rng_mode!r}")
+        if self.engine == "pallas" and (self.mesh[2] != 1 or self.mesh[3] != 1):
+            # engine-wide constraint, not stream-specific: the fused
+            # sharded kernels decompose along X/Y only (Z/T live on the
+            # packed lane axis) — fail at construction, not runner build
+            raise ValueError(
+                "the sharded Pallas engine decomposes along X/Y only; "
+                "Z/T meshes run on the XLA engine (engine='auto' picks it)"
+            )
         if self.meas_dtype not in ("same", "double"):
             raise ValueError(f"unknown meas_dtype {self.meas_dtype!r}")
         if self.ckpt_every < 0:

@@ -194,10 +194,7 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False, with_acc=False):
         return us
 
     # acceptance normalization: active sites per stage x hits x subgroups
-    n_sg = 1 if cfg.group == 2 else 3
-    vol2 = dims[0] * dims[1] * dims[2] * dims[3] // 2
-    met_stages = 8 if cfg.algorithm == "metropolis" else 0
-    acc_denom = jnp.float32(max(met_stages * vol2 * cfg.n_hit * n_sg, 1))
+    acc_denom = pupdate.metropolis_acc_denom(cfg, dims)
 
     def sweep(us, base_key, sweep_idx, beta=None):
         # beta=None uses the static cfg.beta; a traced scalar supports the

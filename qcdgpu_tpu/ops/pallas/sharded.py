@@ -97,10 +97,7 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
     # fraction (engine.make_pallas_sweep has the unsharded twin)
     with_acc = bool(cfg.track_acceptance)
     acc_axes = (("x",) if local_x else ()) + (("y",) if local_y else ())
-    n_sg = 1 if cfg.group == 2 else 3
-    vol2 = dims[0] * dims[1] * dims[2] * dims[3] // 2
-    met_stages = 8 if cfg.algorithm == "metropolis" else 0
-    acc_denom = jnp.float32(max(met_stages * vol2 * cfg.n_hit * n_sg, 1))
+    acc_denom = pupdate.metropolis_acc_denom(cfg, dims)
 
     def sweep_local(state, base_key, sweep_idx, beta):
         # state: us (plain mode) or (us, rst) in PRNGCL stream mode; rst's
@@ -140,10 +137,7 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
                             new, acc_arr = new
                             acc_cnt = acc_cnt + acc_arr[0, 0]
                     else:
-                        from ..prng_streams import (
-                            advance_kernel_scalars,
-                            encode_kernel_scalars,
-                        )
+                        from ..prng_streams import encode_kernel_scalars
 
                         scal = ({s: rst[s + sfx] for s in scalar_names}
                                 if scalar_names else None)
@@ -159,13 +153,9 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
                             acc_cnt = acc_cnt + out[2][0, 0]
                         rst = {**rst, "words" + sfx: new_words}
                         if scal:
-                            per = pupdate._uniforms_per_subgroup(
-                                kind, kw["k_trials"], kw["n_hit"]
-                            )
-                            ndraw = (2 * ((per + 1) // 2)
-                                     * len(pupdate._subgroups(n)))
-                            adv = advance_kernel_scalars(
-                                stream_gen, scal, ndraw
+                            adv = pupdate.stage_scalar_advance(
+                                stream_gen, scal, kind, kw["k_trials"],
+                                kw["n_hit"], n
                             )
                             rst = {**rst,
                                    **{s + sfx: adv[s] for s in scalar_names}}

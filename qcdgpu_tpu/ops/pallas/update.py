@@ -321,6 +321,39 @@ def _uniforms_per_subgroup(kind, k_trials, n_hit):
     return 0
 
 
+def stage_draw_count(kind, k_trials, n_hit, n):
+    """Per-site uniforms one stage's kernel consumes: the per-subgroup
+    count rounded up to a whole u32 pair (the stream path materializes
+    draws in pairs), times the CM subgroups.  _stage_kernel's draw
+    schedule mirrors this by construction — change them together."""
+    per = _uniforms_per_subgroup(kind, k_trials, n_hit)
+    return 2 * ((per + 1) // 2) * len(_subgroups(n))
+
+
+def stage_scalar_advance(gen, scalars, kind, k_trials, n_hit, n):
+    """Advance a ref-based generator's scalar channel past one stage's
+    in-kernel consumption.  Pairs with prng_streams.encode_kernel_scalars
+    before the kernel call; the single place (besides the kernel itself)
+    that knows the per-stage draw count."""
+    from ..prng_streams import advance_kernel_scalars
+
+    return advance_kernel_scalars(
+        gen, scalars, stage_draw_count(kind, k_trials, n_hit, n)
+    )
+
+
+def metropolis_acc_denom(cfg, dims):
+    """Global Metropolis trial count per sweep, the acc_rate denominator:
+    8 stages x vol/2 active sites x n_hit x CM subgroups (1 when the
+    algorithm has no Metropolis stages, keeping the fraction defined).
+    Shared by the unsharded (engine.py) and sharded (sharded.py) sweeps
+    so their normalizations cannot drift apart."""
+    met_stages = 8 if cfg.algorithm == "metropolis" else 0
+    vol2 = dims[0] * dims[1] * dims[2] * dims[3] // 2
+    n_sg = len(_subgroups(cfg.group))
+    return jnp.float32(max(met_stages * vol2 * cfg.n_hit * n_sg, 1))
+
+
 # ---------------------------------------------------------------------------
 # the stage kernel
 # ---------------------------------------------------------------------------
@@ -598,11 +631,7 @@ def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
 
     if stream_scalars is None:
         return unwrap(apply(key2, beta, us, stream_state=stream_state))
-    from ..prng_streams import (
-        advance_kernel_scalars,
-        encode_kernel_scalars,
-        stream_mode_name,
-    )
+    from ..prng_streams import encode_kernel_scalars, stream_mode_name
 
     gen = stream_mode_name(rng_mode)
     enc = encode_kernel_scalars(gen, stream_scalars)
@@ -610,10 +639,7 @@ def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
         key2, beta, us, stream_state=stream_state, stream_scalars=enc
     )
     new_links, new_state = out[0], out[1]
-    sgs = _subgroups(n)
-    per = _uniforms_per_subgroup(kind, k_trials, n_hit)
-    ndraw = 2 * ((per + 1) // 2) * len(sgs)
-    adv = advance_kernel_scalars(gen, stream_scalars, ndraw)
+    adv = stage_scalar_advance(gen, stream_scalars, kind, k_trials, n_hit, n)
     if track_acc:
         return new_links, new_state, adv, out[2][0, 0]
     return new_links, new_state, adv

@@ -746,8 +746,11 @@ def advance_kernel_scalars(name: str, scalars, n: int) -> dict:
         return {"nb": nb2, "ptr": ptr2}
     if name == "ranmar":
         ci = jnp.round(scalars["c"] * np.float32(1 << 24)).astype(jnp.int32)
-        ci2 = jnp.mod(ci - jnp.int32(n % _RM_CM_I) * jnp.int32(_RM_CD_I % _RM_CM_I)
-                      % jnp.int32(_RM_CM_I), jnp.int32(_RM_CM_I))
+        # n is a static Python int at every call site: reduce n*CD mod CM
+        # in Python integers — an int32 device multiply overflows (and
+        # silently desyncs the carry from the native stream) at n >= 281
+        dec = (n * _RM_CD_I) % _RM_CM_I
+        ci2 = jnp.mod(ci - jnp.int32(dec), jnp.int32(_RM_CM_I))
         c2 = ci2.astype(jnp.float32) * np.float32(1.0 / (1 << 24))
         ptr2 = jnp.mod(scalars["ptr"] - n, 97).astype(jnp.int32)
         return {"c": c2, "ptr": ptr2}

@@ -34,6 +34,16 @@ def test_auto_engine_routes_double_measurement_to_xla_off_tpu():
     assert resolve_engine(SimConfig(meas_dtype="double")) == "xla"
 
 
+def test_pallas_rejects_zt_mesh_for_every_rng_mode():
+    # engine-wide constraint: the fused sharded kernels split X/Y only —
+    # the same invalid mesh must fail at construction for every rng_mode,
+    # not just the PRNGCL-stream branch
+    for rng_mode in ("threefry", "hw", "prngcl:xor128"):
+        with pytest.raises(ValueError, match="X/Y"):
+            SimConfig(engine="pallas", dims=(8, 8, 8, 8),
+                      mesh=(1, 1, 2, 1), rng_mode=rng_mode)
+
+
 def test_dims_divisible_by_mesh_checkerboard():
     with pytest.raises(ValueError, match="even per mesh shard"):
         SimConfig(dims=(4, 4, 4, 4), mesh=(4, 1, 1, 1))

@@ -258,6 +258,23 @@ def test_ref_kernel_draw_bit_matches_dense(name, pre):
                                    rtol=0, atol=0)
 
 
+@pytest.mark.parametrize("n", [280, 281, 300, 500])
+def test_ranmar_scalar_advance_large_n(n):
+    """The closed-form carry advance must stay exact for large per-stage
+    draw counts: the naive int32 modmul n*CD overflows (and silently
+    desyncs from the native stream) at n >= 281, reachable through
+    unvalidated n_hit/kp_trials."""
+    dims = (2, 2, 2, 4)
+    state0, draw = ps.make_stream("ranmar", 11, dims)
+    _, exp_state = jax.jit(lambda st: draw(st, n))(state0)
+    adv = ps.advance_kernel_scalars(
+        "ranmar", ps.stream_kernel_scalars("ranmar", state0), n
+    )
+    np.testing.assert_allclose(float(adv["c"]), float(exp_state["c"]),
+                               rtol=0, atol=0)
+    assert int(adv["ptr"]) == (ps._RANMAR_PTR0 - n) % 97
+
+
 @pytest.mark.parametrize("name", ["ranlux3", "ranmar"])
 def test_ref_stage_kernel_consumes_dense_stream_draws(name):
     """Same contract as the counter-free generators: the in-kernel draw at
