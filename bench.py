@@ -120,7 +120,11 @@ def _watchdog(deadline: float) -> None:
             # from this thread replaces the whole process image, so the
             # stuck main thread dies with it.
             _stall_reexec(_best["phase"])
-        time.sleep(min(left - 14.0, 5.0))
+        # clamp below: _emit_and_exit returns (instead of exiting) when the
+        # main thread holds the print lock, in which case left-14 can be
+        # negative and a bare sleep(left-14) would ValueError the watchdog
+        # away exactly when it is the last line of defense
+        time.sleep(max(1.0, min(left - 14.0, 5.0)))
 
 
 def _stall_reexec(phase: str) -> None:

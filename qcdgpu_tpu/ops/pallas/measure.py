@@ -77,9 +77,11 @@ def _plq_kernel(*refs, parity, n, dims, slabs):
             o_ref[p, 1] = 0.0
 
     for p, tr in enumerate(_plaquettes(ctx)):
-        # two-stage in-slab reduction (lanes, then sublane rows) keeps the
-        # per-slab tree shallow before the compensated scalar accumulate
-        _kahan_add(o_ref, p, jnp.sum(jnp.sum(tr, axis=1)))
+        # full in-slab reduce in one jnp.sum: a staged sum(axis=1) lowers
+        # to a (Y,) 1D vector whose relayout Mosaic rejects on real TPU
+        # ("Invalid relayout ... vector<1x32xf32>"), and Mosaic already
+        # builds its own reduction tree for the 2D reduce
+        _kahan_add(o_ref, p, jnp.sum(tr))
 
 
 @lru_cache(maxsize=None)
