@@ -609,15 +609,31 @@ def _xor7_step_at(words, k):
     return y, words
 
 
+def _f32_from_u32(w):
+    """float32(w) for uint32 w, without a u32->f32 convert (Mosaic has no
+    unsigned->float lowering: real-TPU kernels raised "Unsupported cast:
+    uint32 -> float32").  Split w = hi*256 + lo with hi < 2^24: both halves
+    convert exactly through the SIGNED int32 cast Mosaic does support,
+    hi*256.0 is an exact power-of-two scale, and the single final add
+    rounds once — so the result is bit-identical to the direct cast the
+    dict-based XLA draws use."""
+    hi = (w >> _U32(8)).astype(jnp.int32).astype(_F32)
+    lo = (w & _U32(0xFF)).astype(jnp.int32).astype(_F32)
+    return hi * _F32(256.0) + lo
+
+
 def kernel_stream_draw(name: str, words, n: int):
     """n uniforms from a LIST of W same-shape word arrays; returns
     (uniforms list, new words list).
 
-    Built on lax.scan with tuple-of-arrays carries and STATIC word
-    positions — no rolls, stacks over dynamic axes, or gathers — so it
-    lowers inside a Pallas TPU kernel and compiles in O(1) of n (a fully
-    unrolled MRG32k3a chain sent XLA compile time pathological).
-    Bit-identical to the dict-based draws
+    Fully UNROLLED steps with STATIC word positions — no rolls, stacks
+    over dynamic axes, or gathers, and no lax.scan: Mosaic only lowers
+    scans that pattern-match a scalar-index fori_loop
+    (jax pallas/utils.py pattern_match_scan_to_fori_loop), so the
+    earlier tuple-of-arrays-carry scan form compiled under interpret
+    mode but raised "not a fori_loop index" on real TPU.  n is a small
+    static stage count (<= 4*kp_trials + 2 per subgroup), so unrolling
+    is cheap for Mosaic.  Bit-identical to the dict-based draws
     (tests/test_prng_streams.py::test_kernel_draw_matches_dict)."""
     words = list(words)
     if name == "constant":
@@ -627,7 +643,7 @@ def kernel_stream_draw(name: str, words, n: int):
             x, y, z, w0 = c
             t = x ^ (x << _U32(11))
             w = w0 ^ (w0 >> _U32(19)) ^ t ^ (t >> _U32(8))
-            return (y, z, w0, w), w.astype(_F32) * _INV32
+            return (y, z, w0, w), _f32_from_u32(w) * _INV32
     elif name == "mrg32k3a":
         def body(c, _):
             s10, s11, s12, s20, s21, s22 = c
@@ -643,7 +659,7 @@ def kernel_stream_draw(name: str, words, n: int):
             )
             z = _submod(p1, p2, _MRG_M1)
             z = jnp.where(z == 0, _U32(_MRG_M1), z)
-            return (s11, s12, p1, s21, s22, p2), z.astype(_F32) * _MRG_NORM
+            return (s11, s12, p1, s21, s22, p2), _f32_from_u32(z) * _MRG_NORM
     elif name == "parkmiller":
         def body(c, _):
             (s,) = c
@@ -652,34 +668,25 @@ def kernel_stream_draw(name: str, words, n: int):
             s = jnp.where(t > 0, t, t + _PM_M)
             return (s,), s.astype(_F32) * _PM_NORM
     elif name == "xor7":
-        # the walking index has period 8, so scan over whole 8-step blocks
-        # (the carry returns to canonical k = 0 each block) and unroll the
-        # remainder, rotating the list back to canonical afterwards
-        def block(c, _):
-            ws = list(c)
-            outs = []
-            for k in range(8):
-                y, ws = _xor7_step_at(ws, k)
-                outs.append(y.astype(_F32) * _INV32)
-            return tuple(ws), jnp.stack(outs)
-
-        nblk, rem = divmod(n, 8)
+        # the walking index has period 8: unroll all n steps at static
+        # offsets, rotating the list back to canonical k = 0 afterwards
         outs = []
-        if nblk:
-            carry, ys = jax.lax.scan(block, tuple(words), None, length=nblk)
-            outs = [ys[b, k] for b in range(nblk) for k in range(8)]
-            words = list(carry)
-        for k in range(rem):
-            y, words = _xor7_step_at(words, k)
-            outs.append(y.astype(_F32) * _INV32)
+        for i in range(n):
+            y, words = _xor7_step_at(words, i % 8)
+            outs.append(_f32_from_u32(y) * _INV32)
+        rem = n % 8
         if rem:
             words = words[rem:] + words[:rem]  # restore canonical k = 0
         return outs, words
     else:
         raise ValueError(f"{name!r} is not Pallas-supported; "
                          f"have {PALLAS_STREAM_GENERATORS}")
-    carry, ys = jax.lax.scan(body, tuple(words), None, length=n)
-    return [ys[i] for i in range(n)], list(carry)
+    carry = tuple(words)
+    outs = []
+    for _ in range(n):
+        carry, y = body(carry, None)
+        outs.append(y)
+    return outs, list(carry)
 
 
 # ---------------------------------------------------------------------------

@@ -232,7 +232,7 @@ def resolve_engine(cfg: SimConfig) -> str:
         from .ops.prng_streams import PALLAS_STREAM_GENERATORS
 
         # every PRNGCL generator runs in-kernel on the fused engine
-        # (counter-free ones as value-carried scans; ranlux/ranmar as
+        # (counter-free ones as statically-unrolled in-kernel steps; ranlux/ranmar as
         # ref-based lag windows with scalar-channel counters — see
         # prng_streams REF_STREAM_GENERATORS), sharded or not: streams
         # are site-local, so X/Y meshes shard them like the links and
@@ -372,6 +372,11 @@ class Simulation:
                 # dense layout and packs the state for its kernels
                 u0, self._rst = self._run.stream_hot_start()
                 self.u = u0
+            elif hasattr(self._run, "packed_hot_start"):
+                # engine-layout direct (bit-identical: threefry site keys
+                # are layout-invariant); the canonical complex field never
+                # materializes — at SU(3) 64^4 it wouldn't fit in HBM
+                self._us = self._run.packed_hot_start(self.base_key)
             else:
                 self.u = jax.jit(partial(hot_start, cfg))(self.base_key)
         elif cfg.start == "continue":
@@ -380,7 +385,11 @@ class Simulation:
                 "Simulation.load(path) (CLI: `resume`) or pass init_u"
             )
         else:  # "cold"
-            self.u = jax.jit(partial(cold_start, cfg))()
+            if self._stream is None and hasattr(self._run,
+                                                "packed_cold_start"):
+                self._us = self._run.packed_cold_start()
+            else:
+                self.u = jax.jit(partial(cold_start, cfg))()
         if is_lattice_sharded(cfg):
             # place the links onto the domain-decomposition mesh here (not
             # in the CLI) so library users get a genuinely multi-device XLA
@@ -539,8 +548,19 @@ class Simulation:
     # -- measurement ------------------------------------------------------
     def measure(self) -> dict:
         """One-off measurement (jitted — eager ops cost a host round-trip
-        per op, which on a tunneled TPU dominates everything else)."""
-        vals = np.asarray(self._measure_jit(self.u))
+        per op, which on a tunneled TPU dominates everything else).
+
+        When engine-layout state is live, measures it directly through the
+        fused packed reductions — no canonical-field materialization (the
+        join wouldn't fit in HBM at 64^4) and, with meas_dtype='double' on
+        TPU, the Kahan-compensated sums instead of a silently-downcast
+        complex128 path."""
+        mp = getattr(self._run, "measure_packed", None)
+        if mp is not None and self._us is not None:
+            st = self._us if self._stream is None else self._us[0]
+            vals = np.asarray(mp(st))
+        else:
+            vals = np.asarray(self._measure_jit(self.u))
         return dict(zip(measure_obs_names(self.cfg), vals.tolist()))
 
     @property

@@ -124,16 +124,20 @@ def test_kernel_draw_matches_dict(name):
     state, draw = ps.make_stream(name, 123, DIMS)
     words = [jnp.asarray(w) for w in ps.state_to_words(name, state)]
 
+    # 19 + 7 crosses every generator's word window (xor7's period-8
+    # walking index 3x, mrg32k3a's 6-word history 4x) while keeping the
+    # unrolled chain short: XLA CPU compile time is quadratic in the
+    # chain length (~66 s at the previous 37 + 13)
     @jax.jit
     def dict_side(st):
-        u1, st = draw(st, 37)
-        u2, st = draw(st, 13)
+        u1, st = draw(st, 19)
+        u2, st = draw(st, 7)
         return jnp.concatenate([u1, u2]), st
 
     @jax.jit
     def list_side(ws):
-        u1, ws = ps.kernel_stream_draw(name, ws, 37)
-        u2, ws = ps.kernel_stream_draw(name, ws, 13)
+        u1, ws = ps.kernel_stream_draw(name, ws, 19)
+        u2, ws = ps.kernel_stream_draw(name, ws, 7)
         return jnp.stack(u1 + u2), ws
 
     u_d, st_d = dict_side(state)
