@@ -285,6 +285,29 @@ def shift_mat_packed(m, lat_axis, d, p_dest, x, dims2):
     )
 
 
+def site_index_packed(parity, dims):
+    """uint32 [X, Y, Z*T/2] of global DENSE site indices of the packed
+    slots (whole lattice; the per-x-slab variant below is what the update
+    kernels use).  Global index matches ops.lattice.site_index on the
+    unpacked lattice, so threefry draws keyed off it are bit-identical
+    between dense and packed layouts — this is what lets the packed-direct
+    start constructors (ops.pallas.engine.packed_hot_start) reproduce the
+    dense hot start exactly without materializing the canonical field."""
+    x_dim, y_dim, z_dim, t_dim = dims
+    t2 = t_dim // 2
+    zt2 = z_dim * t2
+    shape = (x_dim, y_dim, zt2)
+    x = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    y = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    f = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    z = f // t2
+    k = f % t2
+    tau = (parity + x + y + z) % 2  # t = 2k + tau
+    t = 2 * k + tau
+    idx = ((x * y_dim + y) * z_dim + z) * t_dim + t
+    return idx.astype(_U32)
+
+
 def slab_site_index_packed(x, parity, dims, y0=0, local_y=0):
     """uint32 [Y_loc, ZT2] of global DENSE site indices of the packed slots.
 

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 
 from ...config import SimConfig
 from .. import rng
+from .. import sun
+from . import core
 from ..measure import (
     cfg_fmunu_indices,
     cfg_wilson_pairs,
@@ -142,6 +144,55 @@ def join_links(us, dims):
         [join_dir((us[2 * mu], us[2 * mu + 1]), dims, n) for mu in range(NDIM)],
         axis=0,
     )
+
+
+# ---------------------------------------------------------------------------
+# packed-direct start constructors
+#
+# Building the canonical complex field first and packing it afterwards
+# costs a full c64 [4, N, N, X, Y, Z, T] intermediate — at SU(3) 64^4
+# that is 4.5 GB unpadded and ~9 GB after TPU (8,128) tile padding, which
+# together with the split temporaries exceeds one chip's HBM (measured:
+# 16.5 GB program for a 15.75 GB chip).  These constructors build the
+# engine 8-tuple directly, so the peak is one (mu, parity) half-lattice
+# temp.  Bit-identical to split_links(cold_start/hot_start): cold is a
+# constant field, and hot draws threefry normals keyed off the global
+# DENSE site index, which the packing preserves (core.site_index_packed).
+# ---------------------------------------------------------------------------
+
+
+def packed_cold_start(cfg: SimConfig):
+    """Engine-layout unit links (ordered start); split_links(cold_start)."""
+    n = cfg.group
+    x, y, z, t = cfg.dims
+    eye = jnp.zeros((2, n, 2), jnp.float32)
+    eye = eye.at[0, 0, 0].set(1.0).at[1, 1, 0].set(1.0)  # rows 0..1, re part
+    pk = jnp.broadcast_to(eye[..., None, None, None],
+                          (2, n, 2, x, y, z * (t // 2)))
+    return tuple(pk for _ in range(2 * NDIM))
+
+
+def packed_hot_start(cfg: SimConfig, base_key):
+    """Engine-layout disordered start; split_links(sim.hot_start) bit-exact
+    (same per-site threefry draws, same per-site Gram–Schmidt arithmetic),
+    built one (mu, parity) half-lattice at a time."""
+    from ...sim import _STAGE_INIT
+
+    n = cfg.group
+    dims = tuple(cfg.dims)
+    key2 = rng.stage_key(base_key, 0, _STAGE_INIT)
+    out = []
+    for mu in range(NDIM):
+        kmu = rng.stage_key(key2, mu, _STAGE_INIT + 1)
+        for p in range(2):
+            sidx = core.site_index_packed(p, dims)
+            zn = rng.site_normals(kmu, sidx, 2 * n * n, slot0=0)
+            re = zn[: 2 * n * n : 2].reshape((n, n) + sidx.shape)
+            im = zn[1 : 2 * n * n : 2].reshape((n, n) + sidx.shape)
+            m = sun.reunitarize((re + 1j * im).astype(jnp.complex64))[:2]
+            out.append(jnp.stack([jnp.real(m), jnp.imag(m)], axis=2)
+                       .astype(jnp.float32))
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
@@ -339,15 +390,23 @@ def make_pallas_chunk_runner(cfg: SimConfig, interpret=False):
     sweep = make_pallas_sweep(cfg, interpret=interpret, with_acc=with_acc)
     meas = lambda us: measure_all_split(us, dims, interpret=interpret, cfg=cfg)
     if stream_gen is None:
-        return build_chunk_runner(
+        run = build_chunk_runner(
             cfg, sweep, meas, pack=split_links,
             unpack=lambda us: join_links(us, dims), with_acc=with_acc,
         )
+        # packed-direct entry points: the Simulation driver uses these to
+        # start and measure without ever materializing the canonical
+        # complex field (required at 64^4, where that field doesn't fit)
+        run.packed_cold_start = jax.jit(lambda: packed_cold_start(cfg))
+        run.packed_hot_start = jax.jit(lambda k: packed_hot_start(cfg, k))
+        run.measure_packed = jax.jit(meas)
+        return run
 
     run = build_chunk_runner(
         cfg, sweep, lambda st: meas(st[0]), pack=split_links,
         unpack=lambda us: join_links(us, dims), with_acc=with_acc,
     )
+    run.measure_packed = jax.jit(meas)
 
     def pack_state(dense_state):
         """Dense stream-state dict -> per-parity packed word arrays (plus

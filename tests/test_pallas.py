@@ -252,3 +252,53 @@ def test_chunk_runner_tracks_acceptance(u0):
     _, obs_p2 = run_p(u0, key, 0, 4, 2)
     np.testing.assert_array_equal(np.asarray(obs_p)[:, k],
                                   np.asarray(obs_p2)[:, k])
+
+
+def test_packed_cold_start_matches_split():
+    """packed_cold_start == split_links(cold_start) bit-exactly (the
+    packed-direct path exists so 64^4 never materializes the canonical
+    field; see engine.py packed-direct section)."""
+    from qcdgpu_tpu.sim import cold_start
+
+    cfg = _cfg()
+    ref = peng.split_links(cold_start(cfg).astype(jnp.complex64))
+    got = peng.packed_cold_start(cfg)
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_hot_start_matches_split():
+    """packed_hot_start == split_links(hot_start) bit-exactly: threefry
+    site keys are layout-invariant and the per-site Gram–Schmidt is the
+    same arithmetic in both layouts."""
+    cfg = _cfg()
+    key = rng.make_base_key(cfg.seed)
+    ref = peng.split_links(hot_start(cfg, key).astype(jnp.complex64))
+    got = peng.packed_hot_start(cfg, key)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_simulation_packed_init_and_measure(monkeypatch):
+    """A pallas-engine Simulation starts engine-packed (no canonical field
+    built) and measure() uses the packed reductions; values match the
+    canonical-field measurement."""
+    import qcdgpu_tpu.sim as simmod
+    from qcdgpu_tpu.ops.measure import measure_obs_names
+    from qcdgpu_tpu.sim import Simulation, make_measure_fn
+
+    monkeypatch.setattr(
+        simmod, "make_chunk_runner",
+        lambda cfg: peng.make_pallas_chunk_runner(cfg, interpret=True),
+    )
+    for start in ("cold", "hot"):
+        cfg = _cfg(start=start)
+        sim = Simulation(cfg)
+        assert sim._us is not None and sim._u is None, start
+        got = sim.measure()
+        assert sim._u is None  # measure() stayed packed
+        ref = np.asarray(jax.jit(make_measure_fn(cfg))(sim.u))
+        ref = dict(zip(measure_obs_names(cfg), ref.tolist()))
+        for k in ref:
+            np.testing.assert_allclose(got[k], ref[k], atol=2e-6, err_msg=k)
