@@ -91,6 +91,22 @@ def cos_2pi(r):
     return sign * _poly_s(_COS_COEF, f * f)
 
 
+def cos2_2pi(r):
+    """cos(2*pi*r)**2 for r in [0, 1).
+
+    The Kennedy–Pendleton trial consumes only the SQUARE of the angle
+    cosine (samplers.kp_trial_quat: ``c * c``), so the quadrant sign of
+    the fold — a round/floor/select chain per element — is dead work:
+    (sign * p)**2 == p**2."""
+    if r.dtype != jnp.float32:
+        c = jnp.cos(_TWO_PI_64 * r)
+        return c * c
+    k = jnp.round(_F(2.0) * r)
+    f = r - _F(0.5) * k
+    p = _poly_s(_COS_COEF, f * f)
+    return p * p
+
+
 def sincos_2pi(r):
     """(sin(2*pi*r), cos(2*pi*r)) for r in [0, 1), sharing the fold."""
     if r.dtype != jnp.float32:

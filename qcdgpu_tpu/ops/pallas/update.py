@@ -96,17 +96,20 @@ def heatbath_flip(q_w, two_beta_over_n, u, k_trials):
     Mirrors samplers.heatbath_flip / kp_trial_quat: fixed-K masked trials,
     first accepted wins, identity on exhaustion.
     """
-    k = jnp.sqrt(q_w[0] ** 2 + q_w[1] ** 2 + q_w[2] ** 2 + q_w[3] ** 2)
-    safe_k = jnp.maximum(k, 1e-30)
-    v = tuple(c / safe_k for c in q_w)
+    # rsqrt form (lockstep with samplers.heatbath_flip): one reciprocal-
+    # sqrt + multiplies instead of sqrt + four divides
+    n2 = q_w[0] ** 2 + q_w[1] ** 2 + q_w[2] ** 2 + q_w[3] ** 2
+    rk = jax.lax.rsqrt(jnp.maximum(n2, 1e-38))
+    k = n2 * rk
+    v = tuple(c * rk for c in q_w)
     a = two_beta_over_n * k
     inv2a = 1.0 / (2.0 * jnp.maximum(a, 1e-10))
     lam2_sel = None
     ok = None
     for t in range(k_trials):
         r1, r2, r3, r4 = u[4 * t], u[4 * t + 1], u[4 * t + 2], u[4 * t + 3]
-        c = fm.cos_2pi(r2)
-        lam2 = -inv2a * (fm.log_u01(r1) + c * c * fm.log_u01(r3))
+        c2 = fm.cos2_2pi(r2)  # only cos^2 enters KP — skip the quadrant sign
+        lam2 = -inv2a * (fm.log_u01(r1) + c2 * fm.log_u01(r3))
         acc = (r4 * r4) <= (1.0 - lam2)
         if t == 0:
             lam2_sel, ok = lam2, acc
@@ -127,12 +130,14 @@ def heatbath_flip(q_w, two_beta_over_n, u, k_trials):
 
 
 def overrelax_flip(q_w):
-    k = jnp.sqrt(q_w[0] ** 2 + q_w[1] ** 2 + q_w[2] ** 2 + q_w[3] ** 2)
-    v = tuple(c / jnp.maximum(k, 1e-30) for c in q_w)
-    vc = quat_conj(v)
-    u = quat_mul(vc, vc)
-    ident = _identity_quat(k.shape)
-    good = k > 1e-30
+    n2 = q_w[0] ** 2 + q_w[1] ** 2 + q_w[2] ** 2 + q_w[3] ** 2
+    qc = quat_conj(q_w)
+    # (q_w^+/|q_w|)^2 = quat_mul(q_w^+, q_w^+) / n2 (lockstep with
+    # samplers.overrelax_flip)
+    inv = 1.0 / jnp.maximum(n2, 1e-38)
+    u = tuple(c * inv for c in quat_mul(qc, qc))
+    ident = _identity_quat(n2.shape)
+    good = n2 > 1e-38
     return tuple(jnp.where(good, u[c], ident[c]) for c in range(4))
 
 
@@ -151,8 +156,8 @@ def metropolis_flip(q_w, two_beta_over_n, uu, n_hit, delta, with_acc=False):
         w2 = delta * (2.0 * u[1] - 1.0)
         w3 = delta * (2.0 * u[2] - 1.0)
         w0 = jnp.ones_like(w1)
-        nrm = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2 + w3 * w3)
-        w = (w0 / nrm, w1 / nrm, w2 / nrm, w3 / nrm)
+        rn = jax.lax.rsqrt(w0 * w0 + w1 * w1 + w2 * w2 + w3 * w3)
+        w = (w0 * rn, w1 * rn, w2 * rn, w3 * rn)
         new0 = quat_mul(w, q_cur)[0]
         dlp = two_beta_over_n * (new0 - q_cur[0])
         accept = fm.log_u01(u[3]) < dlp

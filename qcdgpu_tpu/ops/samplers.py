@@ -29,6 +29,7 @@ is ~1e-6 at the couplings of interest for K = 4 (SURVEY.md §7 "Hard parts" #1).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import fastmath as fm
@@ -46,8 +47,8 @@ def kp_trial_quat(a, utr, udir, eps=1e-10):
     """
     inv2a = 1.0 / (2.0 * jnp.maximum(a, eps))
     r1, r2, r3, r4 = utr[:, 0], utr[:, 1], utr[:, 2], utr[:, 3]
-    c = fm.cos_2pi(r2)
-    lam2 = -inv2a * (fm.log_u01(r1) + c * c * fm.log_u01(r3))  # [K, *sites]
+    c2 = fm.cos2_2pi(r2)  # only cos^2 enters KP — skip the quadrant sign
+    lam2 = -inv2a * (fm.log_u01(r1) + c2 * fm.log_u01(r3))  # [K, *sites]
     acc = (r4 * r4) <= (1.0 - lam2)
     # first accepted trial (argmax picks the first True)
     idx = jnp.argmax(acc, axis=0)
@@ -88,9 +89,12 @@ def heatbath_flip(q_w, two_beta_over_n, u, k_trials):
     u: pre-drawn uniforms [4*k_trials + 2, *sites].
     Returns u [4, *sites] with u = identity where KP exhausted its trials.
     """
-    k = sun.quat_norm(q_w)
-    safe_k = jnp.maximum(k, 1e-30)
-    v = q_w / safe_k
+    # rsqrt form: one reciprocal-sqrt + multiplies instead of sqrt + four
+    # divides (TPU VPU divides are multi-pass; this is the sampler hot path)
+    n2 = jnp.sum(q_w * q_w, axis=0)
+    rk = jax.lax.rsqrt(jnp.maximum(n2, 1e-38))
+    k = n2 * rk
+    v = q_w * rk
     a = two_beta_over_n * k
     utr = u[: 4 * k_trials].reshape((k_trials, 4) + u.shape[1:])
     udir = u[4 * k_trials :]
@@ -110,12 +114,15 @@ def overrelax_flip(q_w):
     Re tr(u_emb W) is exactly preserved; the move maximally decorrelates the
     subgroup angle.  Zero RNG cost.
     """
-    k = sun.quat_norm(q_w)
-    v = q_w / jnp.maximum(k, 1e-30)
-    vconj = sun.quat_conj(v)
-    u = sun.quat_mul(vconj, vconj)
+    n2 = jnp.sum(q_w * q_w, axis=0)
+    qc = sun.quat_conj(q_w)
+    # (q_w^+/|q_w|)^2 = quat_mul(q_w^+, q_w^+) / |q_w|^2 — one reciprocal
+    # instead of a sqrt + four divides (reciprocal-then-multiply, the same
+    # rounding as the Pallas twin in ops/pallas/update.py)
+    inv = 1.0 / jnp.maximum(n2, 1e-38)
+    u = sun.quat_mul(qc, qc) * inv
     ident = _identity_quat_like(u)
-    return jnp.where((k > 1e-30)[None], u, ident)
+    return jnp.where((n2 > 1e-38)[None], u, ident)
 
 
 METRO_UNIFORMS_PER_HIT = 4
@@ -141,8 +148,8 @@ def metropolis_flip(q_w, two_beta_over_n, uu, n_hit, delta, with_acc=False):
         w2 = delta * (2.0 * u[1] - 1.0)
         w3 = delta * (2.0 * u[2] - 1.0)
         w0 = jnp.ones_like(w1)
-        nrm = jnp.sqrt(w0 * w0 + w1 * w1 + w2 * w2 + w3 * w3)
-        w = jnp.stack([w0, w1, w2, w3], axis=0) / nrm
+        rn = jax.lax.rsqrt(w0 * w0 + w1 * w1 + w2 * w2 + w3 * w3)
+        w = jnp.stack([w0, w1, w2, w3], axis=0) * rn
         # dS_local in log-prob form
         new0 = sun.quat_mul(w, q_cur)[0]
         dlp = two_beta_over_n * (new0 - q_cur[0])
