@@ -216,7 +216,12 @@ def test_stage_acceptance_count(u0, us):
                               DIMS, **kw)
     new, cnt = pupd.stage_update(us, 1, 1, "metropolis", cfg.beta, key2,
                                  DIMS, track_acc=True, **kw)
-    assert float(jnp.max(jnp.abs(new - plain))) == 0.0
+    # the tracked and untracked stages are DIFFERENT compiled programs
+    # (the count output changes the fusion graph); XLA may contract the
+    # rsqrt/FMA chains differently between them, so equality holds to one
+    # f32 ulp, not bitwise — the bit-exact invariants (cross-engine,
+    # sharded-vs-unsharded) always compare like-for-like programs
+    assert float(jnp.max(jnp.abs(new - plain))) < 1e-6
     _, cnt2 = pupd.stage_update(us, 1, 1, "metropolis", cfg.beta, key2,
                                 DIMS, track_acc=True, **kw)
     assert int(cnt) == int(cnt2)
