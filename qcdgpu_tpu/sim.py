@@ -270,6 +270,28 @@ def resolve_engine(cfg: SimConfig) -> str:
     return "pallas" if on_tpu else "xla"
 
 
+def _maybe_warn_zt_mesh_fallback(cfg: SimConfig, platform: str) -> None:
+    """Warn when a Z/T-split mesh demotes an auto-engine TPU run to XLA.
+
+    The fused Pallas engine shards along X/Y only (Z and T live on its
+    packed lane axis, ops/pallas/sharded.py) — such meshes land on the XLA
+    engine at ~200x lower throughput.  Loud, not silent (the last of the
+    slow-fallback triggers after the round-2 Pallas coverage work).
+    """
+    if (cfg.engine == "auto" and platform in ("tpu", "axon")
+            and int(np.prod(cfg.mesh)) != 1
+            and (cfg.mesh[2] != 1 or cfg.mesh[3] != 1)):
+        import warnings
+
+        warnings.warn(
+            f"mesh {cfg.mesh} splits the Z and/or T axis, which the "
+            "fused Pallas engine cannot shard; running on the XLA "
+            "engine (orders of magnitude slower). Prefer an X/Y-only "
+            "mesh, e.g. parallel.mesh.default_mesh_shape(n).",
+            stacklevel=3,
+        )
+
+
 def make_chunk_runner(cfg: SimConfig):
     """jit-ed runner: n_sweeps on-device, measuring every measure_every-th.
 
@@ -300,6 +322,11 @@ def make_chunk_runner(cfg: SimConfig):
             "produced with rng_mode='threefry'",
             stacklevel=2,
         )
+    try:
+        _plat = jax.devices()[0].platform
+    except Exception:
+        _plat = "cpu"
+    _maybe_warn_zt_mesh_fallback(cfg, _plat)
     from .runner import build_chunk_runner
 
     sweep = make_sweep_fn(cfg, with_acc=cfg.track_acceptance)

@@ -65,6 +65,25 @@ def test_auto_engine_hw_rng_on_cpu_warns():
         make_chunk_runner(SimConfig(dims=(4, 4, 4, 4), rng_mode="hw"))
 
 
+def test_auto_engine_zt_mesh_on_tpu_warns():
+    # a Z/T-split mesh is valid but demotes an auto-engine TPU run to the
+    # XLA engine (~200x slower); that must be loud.  The helper takes the
+    # platform explicitly so the TPU branch is testable on the CPU suite.
+    from qcdgpu_tpu.sim import _maybe_warn_zt_mesh_fallback
+
+    cfg = SimConfig(dims=(8, 8, 8, 8), mesh=(1, 1, 2, 1))
+    with pytest.warns(UserWarning, match="X/Y-only"):
+        _maybe_warn_zt_mesh_fallback(cfg, "tpu")
+    # X/Y meshes and CPU platforms stay quiet
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        _maybe_warn_zt_mesh_fallback(
+            SimConfig(dims=(8, 8, 8, 8), mesh=(2, 1, 1, 1)), "tpu")
+        _maybe_warn_zt_mesh_fallback(cfg, "cpu")
+
+
 def test_continue_start_requires_checkpoint():
     from qcdgpu_tpu.sim import Simulation
 
