@@ -99,6 +99,10 @@ def _add_run_args(p: argparse.ArgumentParser):
                    metavar="RxT,RxT,...",
                    help="rectangular Wilson loop extents, e.g. 1x2,2x2 "
                         "(adds one wloop_RxT observable column per pair)")
+    p.add_argument("--get-qtop", action=argparse.BooleanOptionalAction,
+                   dest="get_qtop", default=None,
+                   help="measure the clover topological charge Q_L "
+                        "(adds a q_top observable column)")
     p.add_argument("--mesh", type=_parse_mesh,
                    help="device mesh over X,Y,Z,T (e.g. 1,1,2,4)")
     p.add_argument("--engine", choices=["auto", "xla", "pallas"],
@@ -157,7 +161,8 @@ def _build_config(args) -> "SimConfig":
               "kp_trials", "start", "sweeps_therm", "sweeps", "meas_every",
               "reunit_every", "ckpt_every", "seed", "dtype", "mesh", "engine",
               "rng_mode", "meas_dtype", "get_fmunu", "fmunu_index1",
-              "fmunu_index2", "track_acceptance", "wilson_loops"):
+              "fmunu_index2", "track_acceptance", "wilson_loops",
+              "get_qtop"):
         v = getattr(args, k, None)
         if v is not None:
             d[k] = v

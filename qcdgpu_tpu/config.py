@@ -55,6 +55,10 @@ class SimConfig:
     # pair.  Extension beyond QCDGPU (which measures only the plaquette,
     # action, and Polyakov loop); see ops/measure.py wilson_loop_means.
     wilson_loops: Tuple[Tuple[int, int], ...] = ()
+    # Clover (field-theoretic) topological charge Q_L — extension beyond
+    # QCDGPU; adds one "q_top" observable column.  See
+    # ops/measure.py topological_charge.
+    get_qtop: bool = False
 
     # --- numerics --------------------------------------------------------
     seed: int = 0

@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .lattice import NDIM, shift
+from .lattice import NDIM, shift, shift2
 from .sun import dagger, mul, retrace, trace
 
 OBS_NAMES = ("plq", "plq_s", "plq_t", "action", "poly_re", "poly_im")
@@ -186,6 +186,82 @@ def fmunu_means(u, indices):
     return jnp.stack([v for per_color in out for v in per_color])
 
 
+# ---------------------------------------------------------------------------
+# topological charge Q from the clover-leaf field strength — extension
+# beyond QCDGPU (which measures plaquette/action/Polyakov and the naive
+# single-plaquette Fmunu projections above).  The clover discretization is
+# the standard O(a^2)-improved field strength used for Q_L; on smooth
+# (thermalized + mild coupling) configurations Q_L approaches integer
+# values up to renormalization, and on classical abelian backgrounds it is
+# exactly computable (see tests/test_qtop.py).
+# ---------------------------------------------------------------------------
+
+
+def clover_leaf_sum(u, mu, nu):
+    """Sum of the four counter-clockwise plaquette leaves through x in the
+    (mu, nu) plane: [N, N, *site_dims].
+
+    Leaves (all enclosing x, all with the same mu->nu orientation):
+      P1 = U_mu(x) U_nu(x+mu) U_mu^+(x+nu) U_nu^+(x)
+      P2 = U_nu(x) U_mu^+(x-mu+nu) U_nu^+(x-mu) U_mu(x-mu)
+      P3 = U_mu^+(x-mu) U_nu^+(x-mu-nu) U_mu(x-mu-nu) U_nu(x-nu)
+      P4 = U_nu^+(x-nu) U_mu(x-nu) U_nu(x+mu-nu) U_mu^+(x)
+    """
+    um, un = u[mu], u[nu]
+    um_m = shift(um, mu, -1)   # U_mu(x - mu)
+    un_n = shift(un, nu, -1)   # U_nu(x - nu)
+    p1 = mul(mul(um, shift(un, mu, +1)),
+             dagger(mul(un, shift(um, nu, +1))))
+    p2 = mul(mul(un, dagger(shift2(um, mu, -1, nu, +1))),
+             mul(dagger(shift(un, mu, -1)), um_m))
+    p3 = mul(mul(dagger(um_m), dagger(shift2(un, mu, -1, nu, -1))),
+             mul(shift2(um, mu, -1, nu, -1), un_n))
+    p4 = mul(mul(dagger(un_n), shift(um, nu, -1)),
+             mul(shift2(un, mu, +1, nu, -1), dagger(um)))
+    return p1 + p2 + p3 + p4
+
+
+def field_strength_clover(u, mu, nu):
+    """Anti-hermitian traceless clover field G_munu(x): [N, N, *site_dims].
+
+    G = traceless[(C - C^+)/2] with C the four-leaf clover average, so
+    G ~= i a^2 g F_munu + O(a^4) in the continuum limit."""
+    n = u.shape[1]
+    c = clover_leaf_sum(u, mu, nu)
+    g = 0.125 * (c - dagger(c))
+    tr = trace(g) / n
+    eye = np.eye(n, dtype=np.complex64).reshape(
+        (n, n) + (1,) * (g.ndim - 2))
+    return g - tr[None, None] * jnp.asarray(eye)
+
+
+def topological_charge(u):
+    """Clover (field-theoretic) topological charge Q_L, one real scalar.
+
+    Q_L = (1/32 pi^2) sum_x eps^{mu nu rho sigma} tr[F F]
+        = -(1/4 pi^2) sum_x [tr(G_01 G_23) - tr(G_02 G_13)
+                             + tr(G_03 G_12)]    (G = i a^2 g F).
+
+    Materializes six clover fields (~24 plaquette-type products) — an
+    opt-in measurement cost, like the Fmunu extension above."""
+    n = u.shape[1]
+
+    def trmul(a, b):
+        # tr(a @ b) per site, real part (exactly real for anti-hermitian
+        # a, b up to f32 rounding)
+        acc = 0.0
+        for i in range(n):
+            for j in range(n):
+                acc = acc + jnp.real(a[i, j]) * jnp.real(b[j, i]) \
+                    - jnp.imag(a[i, j]) * jnp.imag(b[j, i])
+        return acc
+
+    s = (trmul(field_strength_clover(u, 0, 1), field_strength_clover(u, 2, 3))
+         - trmul(field_strength_clover(u, 0, 2), field_strength_clover(u, 1, 3))
+         + trmul(field_strength_clover(u, 0, 3), field_strength_clover(u, 1, 2)))
+    return -jnp.sum(s) / jnp.float32(4.0 * np.pi * np.pi)
+
+
 def plaquette_retrace(u, mu, nu):
     """Re tr P_{mu,nu}(x) field: [*site_dims]."""
     return retrace(plaquette_field(u, mu, nu))
@@ -299,8 +375,9 @@ def measure_obs_names(cfg=None):
     """Names of the observables produced by make_measure_fn(cfg)."""
     if cfg is None:
         return OBS_NAMES
+    qtop = ("q_top",) if getattr(cfg, "get_qtop", False) else ()
     return (OBS_NAMES + fmunu_obs_names(cfg_fmunu_indices(cfg))
-            + wilson_loop_obs_names(cfg_wilson_pairs(cfg)))
+            + wilson_loop_obs_names(cfg_wilson_pairs(cfg)) + qtop)
 
 
 def obs_names(cfg=None):
@@ -322,6 +399,7 @@ def make_measure_fn(cfg):
     """
     indices = cfg_fmunu_indices(cfg)
     pairs = cfg_wilson_pairs(cfg)
+    qtop = bool(getattr(cfg, "get_qtop", False))
 
     def fn(u):
         if getattr(cfg, "meas_dtype", "same") == "double":
@@ -331,6 +409,8 @@ def make_measure_fn(cfg):
             parts.append(fmunu_means(u, indices))
         if pairs:
             parts.append(wilson_loop_means(u, pairs))
+        if qtop:
+            parts.append(jnp.float32(topological_charge(u))[None])
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     return fn

@@ -357,7 +357,8 @@ def measure_all_split(us, dims, interpret=False, cfg=None):
     ])
     indices = cfg_fmunu_indices(cfg) if cfg is not None else ()
     pairs = cfg_wilson_pairs(cfg)
-    if not indices and not pairs:
+    qtop = bool(getattr(cfg, "get_qtop", False)) if cfg is not None else False
+    if not indices and not pairs and not qtop:
         return base
     uj = join_links(us, dims)
     parts = [base]
@@ -365,6 +366,10 @@ def measure_all_split(us, dims, interpret=False, cfg=None):
         parts.append(fmunu_means(uj, indices))
     if pairs:
         parts.append(wilson_loop_means(uj, pairs))
+    if qtop:
+        from ..measure import topological_charge
+
+        parts.append(jnp.float32(topological_charge(uj))[None])
     return jnp.concatenate(parts)
 
 
