@@ -16,8 +16,8 @@ from qcdgpu_tpu import SimConfig, Simulation
 from qcdgpu_tpu.utils.cache import enable_persistent_cache
 from qcdgpu_tpu.utils.stats import analyze_series
 
-MODES = ["threefry", "hw", "prngcl:ranlux3", "prngcl:xor128",
-         "prngcl:mrg32k3a", "prngcl:parkmiller"]
+MODES = ["threefry", "hw", "prngcl:ranlux3", "prngcl:ranmar",
+         "prngcl:xor128", "prngcl:mrg32k3a", "prngcl:parkmiller"]
 OUT = os.path.join(os.path.dirname(__file__), "..",
                    "docs", "validation", "rng_influence_su2.json")
 
