@@ -103,6 +103,11 @@ def _add_run_args(p: argparse.ArgumentParser):
                    dest="get_qtop", default=None,
                    help="measure the clover topological charge Q_L "
                         "(adds a q_top observable column)")
+    p.add_argument("--qtop-smear", type=int, dest="qtop_smear",
+                   help="APE-smear a measurement copy this many times "
+                        "before evaluating Q_L (0 = unsmeared)")
+    p.add_argument("--qtop-alpha", type=float, dest="qtop_alpha",
+                   help="APE mixing weight for --qtop-smear (default 0.5)")
     p.add_argument("--mesh", type=_parse_mesh,
                    help="device mesh over X,Y,Z,T (e.g. 1,1,2,4)")
     p.add_argument("--engine", choices=["auto", "xla", "pallas"],
@@ -162,7 +167,7 @@ def _build_config(args) -> "SimConfig":
               "reunit_every", "ckpt_every", "seed", "dtype", "mesh", "engine",
               "rng_mode", "meas_dtype", "get_fmunu", "fmunu_index1",
               "fmunu_index2", "track_acceptance", "wilson_loops",
-              "get_qtop"):
+              "get_qtop", "qtop_smear", "qtop_alpha"):
         v = getattr(args, k, None)
         if v is not None:
             d[k] = v

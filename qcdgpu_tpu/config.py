@@ -59,6 +59,12 @@ class SimConfig:
     # QCDGPU; adds one "q_top" observable column.  See
     # ops/measure.py topological_charge.
     get_qtop: bool = False
+    # APE-smear a measurement-time copy of the links qtop_smear times
+    # (mixing weight qtop_alpha) before evaluating Q_L — the standard
+    # UV-fluctuation suppression that drives Q_L toward near-integer
+    # values.  0 = measure on the unsmeared field.  See ops/smear.py.
+    qtop_smear: int = 0
+    qtop_alpha: float = 0.5
 
     # --- numerics --------------------------------------------------------
     seed: int = 0
@@ -158,6 +164,10 @@ class SimConfig:
                 raise ValueError(
                     f"wilson loop T={t} must be in 1..{self.dims[3] - 1}"
                 )
+        if self.qtop_smear < 0:
+            raise ValueError("qtop_smear must be >= 0")
+        if not 0.0 < self.qtop_alpha <= 1.0:
+            raise ValueError("qtop_alpha must be in (0, 1]")
         if self.track_acceptance and self.algorithm != "metropolis":
             raise ValueError("track_acceptance requires algorithm='metropolis'")
         if self.engine == "xla" and self.rng_mode == "hw":

@@ -400,6 +400,8 @@ def make_measure_fn(cfg):
     indices = cfg_fmunu_indices(cfg)
     pairs = cfg_wilson_pairs(cfg)
     qtop = bool(getattr(cfg, "get_qtop", False))
+    qtop_smear = int(getattr(cfg, "qtop_smear", 0) or 0)
+    qtop_alpha = float(getattr(cfg, "qtop_alpha", 0.5))
 
     def fn(u):
         if getattr(cfg, "meas_dtype", "same") == "double":
@@ -410,7 +412,12 @@ def make_measure_fn(cfg):
         if pairs:
             parts.append(wilson_loop_means(u, pairs))
         if qtop:
-            parts.append(jnp.float32(topological_charge(u))[None])
+            uq = u
+            if qtop_smear:
+                from .smear import ape_smear
+
+                uq = ape_smear(u, qtop_alpha, qtop_smear)
+            parts.append(jnp.float32(topological_charge(uq))[None])
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     return fn

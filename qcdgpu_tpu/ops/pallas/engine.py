@@ -369,7 +369,14 @@ def measure_all_split(us, dims, interpret=False, cfg=None):
     if qtop:
         from ..measure import topological_charge
 
-        parts.append(jnp.float32(topological_charge(uj))[None])
+        uq = uj
+        n_smear = int(getattr(cfg, "qtop_smear", 0) or 0)
+        if n_smear:
+            from ..smear import ape_smear
+
+            uq = ape_smear(uj, float(getattr(cfg, "qtop_alpha", 0.5)),
+                           n_smear)
+        parts.append(jnp.float32(topological_charge(uq))[None])
     return jnp.concatenate(parts)
 
 
