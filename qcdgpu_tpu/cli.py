@@ -95,6 +95,10 @@ def _add_run_args(p: argparse.ArgumentParser):
     p.add_argument("--track-acceptance", action=argparse.BooleanOptionalAction,
                    dest="track_acceptance", default=None,
                    help="record the Metropolis acceptance rate per block")
+    p.add_argument("--track-kp-exhaust", action=argparse.BooleanOptionalAction,
+                   dest="track_kp_exhaust", default=None,
+                   help="record the KP heat-bath trial-exhaustion "
+                        "(identity-fallback) rate per block")
     p.add_argument("--wilson-loops", type=_parse_wloops, dest="wilson_loops",
                    metavar="RxT,RxT,...",
                    help="rectangular Wilson loop extents, e.g. 1x2,2x2 "
@@ -166,8 +170,8 @@ def _build_config(args) -> "SimConfig":
               "kp_trials", "start", "sweeps_therm", "sweeps", "meas_every",
               "reunit_every", "ckpt_every", "seed", "dtype", "mesh", "engine",
               "rng_mode", "meas_dtype", "get_fmunu", "fmunu_index1",
-              "fmunu_index2", "track_acceptance", "wilson_loops",
-              "get_qtop", "qtop_smear", "qtop_alpha"):
+              "fmunu_index2", "track_acceptance", "track_kp_exhaust",
+              "wilson_loops", "get_qtop", "qtop_smear", "qtop_alpha"):
         v = getattr(args, k, None)
         if v is not None:
             d[k] = v

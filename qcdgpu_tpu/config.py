@@ -50,6 +50,14 @@ class SimConfig:
     # results file); adds an "acc_rate" observable column.  Runs on both
     # engines (the Pallas kernels accumulate accepted-hit counts in SMEM).
     track_acceptance: bool = False
+    # Kennedy-Pendleton trial-exhaustion tracking (heatbath only): adds a
+    # "kp_exhaust_rate" observable column — the measured identity-fallback
+    # rate of the fixed-K masked KP sampler (the exactness argument in
+    # ops/samplers.py quotes ~1e-6 at beta=6/K=4 analytically; this turns
+    # it into data and quantifies the K=2 throughput trade).  Counted
+    # in-kernel on the Pallas engines via the same SMEM machinery as
+    # track_acceptance; mutually exclusive with it by algorithm.
+    track_kp_exhaust: bool = False
     # Rectangular Wilson loops W(R, T) — R spatial, T temporal, averaged
     # over sites and the three (i, t) planes; one "wloop_RxT" column per
     # pair.  Extension beyond QCDGPU (which measures only the plaquette,
@@ -170,6 +178,8 @@ class SimConfig:
             raise ValueError("qtop_alpha must be in (0, 1]")
         if self.track_acceptance and self.algorithm != "metropolis":
             raise ValueError("track_acceptance requires algorithm='metropolis'")
+        if self.track_kp_exhaust and self.algorithm != "heatbath":
+            raise ValueError("track_kp_exhaust requires algorithm='heatbath'")
         if self.engine == "xla" and self.rng_mode == "hw":
             raise ValueError(
                 "rng_mode='hw' (TPU hardware PRNG) is a Pallas-engine "

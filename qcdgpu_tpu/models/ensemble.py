@@ -63,12 +63,13 @@ def make_ensemble_runner(cfg: SimConfig, n_chains: int, interpret=False,
             "the ensemble runs unsharded lattices only (cfg.mesh must be "
             "all ones); parallelize a scan over devices with chain_mesh"
         )
-    # cfg.track_acceptance: the per-chain sweep accumulates the Metropolis
-    # acceptance (in-kernel SMEM counts on the Pallas chain path,
+    # cfg.track_acceptance / cfg.track_kp_exhaust: the per-chain sweep
+    # accumulates the tracked statistic (Metropolis acceptance or KP
+    # trial exhaustion; in-kernel SMEM counts on the Pallas chain path,
     # sim.make_sweep_fn with_acc on XLA) and every chain contributes its
-    # own acc_rate column — QCDGPU reports acceptance per run, and a scan
-    # is C runs (VERDICT r1 weak #8).
-    with_acc = bool(cfg.track_acceptance)
+    # own column — QCDGPU reports acceptance per run, and a scan is C
+    # runs (VERDICT r1 weak #8).
+    with_acc = bool(cfg.track_acceptance or cfg.track_kp_exhaust)
     if chain_mesh is not None:
         nshards = chain_mesh.shape["c"]
         if n_chains % nshards:

@@ -387,6 +387,10 @@ def obs_names(cfg=None):
     names = measure_obs_names(cfg)
     if cfg is not None and getattr(cfg, "track_acceptance", False):
         names = names + ("acc_rate",)
+    if cfg is not None and getattr(cfg, "track_kp_exhaust", False):
+        # mutually exclusive with acc_rate (algorithm-gated in SimConfig),
+        # so the engines' single tracked-stat accumulator serves both
+        names = names + ("kp_exhaust_rate",)
     return names
 
 

@@ -244,8 +244,12 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False, with_acc=False):
             )
         return us
 
-    # acceptance normalization: active sites per stage x hits x subgroups
-    acc_denom = pupdate.metropolis_acc_denom(cfg, dims)
+    # tracked-stat normalization (Metropolis trials or KP attempts) and
+    # which stage kind feeds the accumulator — mutually exclusive by
+    # algorithm (SimConfig), so one scalar serves both
+    acc_denom = pupdate.tracked_stat_denom(cfg, dims)
+    track_kind = "heatbath" if getattr(cfg, "track_kp_exhaust", False) \
+        else "metropolis"
 
     def sweep(us, base_key, sweep_idx, beta=None):
         # beta=None uses the static cfg.beta; a traced scalar supports the
@@ -254,7 +258,7 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False, with_acc=False):
         stage_id = 0
         acc_cnt = jnp.int32(0)
         for kind in kinds:
-            track = with_acc and kind == "metropolis"
+            track = with_acc and kind == track_kind
             for parity in (0, 1):
                 for mu in range(NDIM):
                     key2 = rng.stage_key(base_key, sweep_idx, stage_id)
@@ -291,7 +295,7 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False, with_acc=False):
         stage_id = 0
         acc_cnt = jnp.int32(0)
         for kind in kinds:
-            track = with_acc and kind == "metropolis"
+            track = with_acc and kind == track_kind
             for parity in (0, 1):
                 sfx = "_e" if parity == 0 else "_o"
                 pkey = "words" + sfx
@@ -333,6 +337,26 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False, with_acc=False):
     return stream_sweep
 
 
+def obs_base_from_sums(sums, sre, sim, n, dims):
+    """The standard 6-observable vector from GLOBAL plane/Polyakov sums —
+    shared by the single-chip (measure_all_split) and sharded
+    (ops/pallas/sharded.py measure path) fused measurements so the
+    normalizations cannot drift apart."""
+    vol = dims[0] * dims[1] * dims[2] * dims[3]
+    sums = sums / (n * vol)
+    # PLANES order: (0,1),(0,2),(0,3),(1,2),(1,3),(2,3); temporal = nu==3
+    plq_s = (sums[0] + sums[1] + sums[3]) / 3.0
+    plq_t = (sums[2] + sums[4] + sums[5]) / 3.0
+    plq = 0.5 * (plq_s + plq_t)
+    n_spatial = n * (vol // dims[3])
+    pre, pim = sre / n_spatial, sim / n_spatial
+    action = 1.0 - plq
+    return jnp.stack([
+        jnp.float32(plq), jnp.float32(plq_s), jnp.float32(plq_t),
+        jnp.float32(action), jnp.float32(pre), jnp.float32(pim),
+    ])
+
+
 def measure_all_split(us, dims, interpret=False, cfg=None):
     """Same observable vector as ops.measure.make_measure_fn, from packed
     state.  The standard 6 come from fused Pallas reductions (plaquette
@@ -341,20 +365,9 @@ def measure_all_split(us, dims, interpret=False, cfg=None):
     field once per measurement and reuses the XLA path (it is an opt-in
     extra, so the join cost is accepted there)."""
     n = us[0].shape[1]
-    vol = dims[0] * dims[1] * dims[2] * dims[3]
-    sums = pmeasure.plane_sums(us, dims, interpret=interpret) / (n * vol)
-    # PLANES order: (0,1),(0,2),(0,3),(1,2),(1,3),(2,3); temporal = nu==3
-    plq_s = (sums[0] + sums[1] + sums[3]) / 3.0
-    plq_t = (sums[2] + sums[4] + sums[5]) / 3.0
-    plq = 0.5 * (plq_s + plq_t)
+    sums = pmeasure.plane_sums(us, dims, interpret=interpret)
     sre, sim = pmeasure.polyakov_sums(us, dims, interpret=interpret)
-    n_spatial = n * (vol // dims[3])
-    pre, pim = sre / n_spatial, sim / n_spatial
-    action = 1.0 - plq
-    base = jnp.stack([
-        jnp.float32(plq), jnp.float32(plq_s), jnp.float32(plq_t),
-        jnp.float32(action), jnp.float32(pre), jnp.float32(pim),
-    ])
+    base = obs_base_from_sums(sums, sre, sim, n, dims)
     indices = cfg_fmunu_indices(cfg) if cfg is not None else ()
     pairs = cfg_wilson_pairs(cfg)
     qtop = bool(getattr(cfg, "get_qtop", False)) if cfg is not None else False
@@ -398,7 +411,8 @@ def make_pallas_chunk_runner(cfg: SimConfig, interpret=False):
 
     dims = tuple(cfg.dims)
     stream_gen = stream_mode_name(cfg.rng_mode)
-    with_acc = bool(cfg.track_acceptance)
+    with_acc = bool(cfg.track_acceptance or
+                    getattr(cfg, "track_kp_exhaust", False))
     sweep = make_pallas_sweep(cfg, interpret=interpret, with_acc=with_acc)
     meas = lambda us: measure_all_split(us, dims, interpret=interpret, cfg=cfg)
     if stream_gen is None:

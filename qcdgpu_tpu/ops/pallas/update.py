@@ -90,11 +90,14 @@ def _identity_quat(shape):
     )
 
 
-def heatbath_flip(q_w, two_beta_over_n, u, k_trials):
+def heatbath_flip(q_w, two_beta_over_n, u, k_trials, with_acc=False):
     """KP heat-bath multiplier; u = list of 4*k_trials + 2 uniform slabs.
 
     Mirrors samplers.heatbath_flip / kp_trial_quat: fixed-K masked trials,
-    first accepted wins, identity on exhaustion.
+    first accepted wins, identity on exhaustion.  With with_acc also
+    returns the slab's trial-exhaustion COUNT (int32, summed over sites) —
+    the measured identity-fallback rate of the fixed-K sampler, riding the
+    same SMEM accumulation as the Metropolis acceptance counts.
     """
     # rsqrt form (lockstep with samplers.heatbath_flip): one reciprocal-
     # sqrt + multiplies instead of sqrt + four divides
@@ -126,7 +129,10 @@ def heatbath_flip(q_w, two_beta_over_n, u, k_trials):
     unew = quat_mul(w, quat_conj(v))
     good = ok & (k > 1e-30)
     ident = _identity_quat(k.shape)
-    return tuple(jnp.where(good, unew[c], ident[c]) for c in range(4))
+    out = tuple(jnp.where(good, unew[c], ident[c]) for c in range(4))
+    if with_acc:
+        return out, jnp.sum(jnp.logical_not(ok).astype(jnp.int32))
+    return out
 
 
 def overrelax_flip(q_w):
@@ -359,6 +365,20 @@ def metropolis_acc_denom(cfg, dims):
     return jnp.float32(max(met_stages * vol2 * cfg.n_hit * n_sg, 1))
 
 
+def tracked_stat_denom(cfg, dims):
+    """Denominator for the engine-accumulated per-sweep statistic: the
+    Metropolis trial count (cfg.track_acceptance) or the KP attempt count
+    8 stages x vol/2 x CM subgroups (cfg.track_kp_exhaust — each subgroup
+    touch is one fixed-K KP attempt that either lands or falls back to the
+    identity).  Shared by both sharding variants."""
+    if getattr(cfg, "track_kp_exhaust", False):
+        hb_stages = 8 if cfg.algorithm == "heatbath" else 0
+        vol2 = dims[0] * dims[1] * dims[2] * dims[3] // 2
+        n_sg = len(_subgroups(cfg.group))
+        return jnp.float32(max(hb_stages * vol2 * n_sg, 1))
+    return metropolis_acc_denom(cfg, dims)
+
+
 # ---------------------------------------------------------------------------
 # the stage kernel
 # ---------------------------------------------------------------------------
@@ -452,7 +472,11 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
         q_w = quat_from_block(w, i, j)
         if kind == "heatbath":
             u_s = u_all[2 * per_slots * s : 2 * per_slots * s + per]
-            flip = heatbath_flip(q_w, two_beta_over_n, u_s, k_trials)
+            flip = heatbath_flip(q_w, two_beta_over_n, u_s, k_trials,
+                                 with_acc=track_acc)
+            if track_acc:
+                flip, cnt = flip
+                acc_total = acc_total + cnt
         elif kind == "overrelax":
             flip = overrelax_flip(q_w)
         elif kind == "metropolis":
@@ -616,9 +640,11 @@ def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
     (prng_streams.stream_kernel_scalars order) — encoded onto the scalar
     prefetch channel here, advanced in closed form on return, so the
     caller gets (new_links, new_state, new_scalars).
-    track_acc (metropolis only): the return tuple additionally ends with
-    the stage's accepted-hit COUNT (0-d int32; active sites x hits summed
-    in-kernel) — QCDGPU's acceptance report, accumulated on-device.
+    track_acc: the return tuple additionally ends with the stage's tracked
+    event COUNT (0-d int32, summed in-kernel over active sites): accepted
+    Metropolis hits (x hits x subgroups) for kind="metropolis" — QCDGPU's
+    acceptance report — or KP trial exhaustions (x subgroups) for
+    kind="heatbath" (cfg.track_kp_exhaust), both accumulated on-device.
     """
     n = us[0].shape[1]
     apply = _stage_call(

@@ -82,12 +82,15 @@ def stage_uniform_count(n_colors, kind, k_trials=4, n_hit=3) -> int:
     return 2 * ((per + 1) // 2) * len(sun.subgroups(n_colors))
 
 
-def heatbath_flip(q_w, two_beta_over_n, u, k_trials):
+def heatbath_flip(q_w, two_beta_over_n, u, k_trials, with_fail=False):
     """Sample the left-multiplier u for one subgroup heat-bath touch.
 
     q_w: projected quaternion of the W block, [4, *sites].
     u: pre-drawn uniforms [4*k_trials + 2, *sites].
     Returns u [4, *sites] with u = identity where KP exhausted its trials.
+    With with_fail also returns the mean trial-exhaustion fraction over
+    sites — the identity-fallback rate of the fixed-K sampler (measured
+    counterpart of the eps ~ 1e-6 exactness estimate above).
     """
     # rsqrt form: one reciprocal-sqrt + multiplies instead of sqrt + four
     # divides (TPU VPU divides are multi-pass; this is the sampler hot path)
@@ -105,7 +108,10 @@ def heatbath_flip(q_w, two_beta_over_n, u, k_trials):
     # itself is then a valid draw only in the a->0 limit; keep identity for
     # safety (measure-zero event in practice).
     good = ok & (k > 1e-30)
-    return jnp.where(good[None], unew, ident)
+    out = jnp.where(good[None], unew, ident)
+    if with_fail:
+        return out, jnp.mean(jnp.logical_not(ok).astype(jnp.float32))
+    return out
 
 
 def overrelax_flip(q_w):
@@ -199,10 +205,12 @@ def update_links(
     (ops/prng_streams.py), where a stateful per-site generator supplies
     each stage exactly like QCDGPU's PRNG::produce buffer (SURVEY.md §3.3).
 
-    With return_acc (metropolis only) also returns the mean acceptance over
-    (sites x hits x subgroups).  The mean runs over BOTH parities even
-    though the caller discards one — the discarded half's accept events are
-    identically distributed, so the estimator is unbiased.
+    With return_acc also returns the tracked per-stage statistic, averaged
+    over (sites x subgroups): the mean Metropolis acceptance (x hits) for
+    kind="metropolis", or the mean KP trial-exhaustion fraction for
+    kind="heatbath" (cfg.track_kp_exhaust).  The mean runs over BOTH
+    parities even though the caller discards one — the discarded half's
+    events are identically distributed, so the estimator is unbiased.
     """
     n = u_mu.shape[0]
     two_beta_over_n = jnp.asarray(2.0 * beta / n, jnp.float32)
@@ -232,7 +240,11 @@ def update_links(
         q_w = sun.extract_block_quat(w, i, j)
         if kind == "heatbath":
             u_s = u_all[2 * per_slots * s : 2 * per_slots * s + per]
-            flip = heatbath_flip(q_w, two_beta_over_n, u_s, k_trials)
+            flip = heatbath_flip(q_w, two_beta_over_n, u_s, k_trials,
+                                 with_fail=return_acc)
+            if return_acc:
+                flip, acc = flip
+                acc_total = acc_total + acc
         elif kind == "overrelax":
             flip = overrelax_flip(q_w)
         elif kind == "metropolis":

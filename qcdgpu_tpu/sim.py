@@ -114,9 +114,11 @@ def make_sweep_fn(cfg: SimConfig, with_acc: bool = False):
     One sweep = one update pass (heat-bath or Metropolis) + cfg.n_or
     overrelaxation passes + conditional reunitarization.
 
-    with_acc: the sweep returns (u', acc_rate) where acc_rate is the mean
-    Metropolis acceptance over the sweep's update stages (QCDGPU's
-    acceptance-rate report; see samplers.update_links).
+    with_acc: the sweep returns (u', acc_rate) where acc_rate is the
+    tracked per-sweep statistic — the mean Metropolis acceptance
+    (cfg.track_acceptance; QCDGPU's acceptance-rate report) or the mean
+    KP trial-exhaustion fraction (cfg.track_kp_exhaust); the two are
+    mutually exclusive by algorithm.  See samplers.update_links.
 
     With rng_mode='prngcl:<gen>' the sweep state is (u, rng_state): each
     update stage consumes pre-drawn uniforms from the per-site PRNGCL
@@ -128,12 +130,13 @@ def make_sweep_fn(cfg: SimConfig, with_acc: bool = False):
     dims = tuple(cfg.dims)
     kinds = [cfg.algorithm] + ["overrelax"] * cfg.n_or
     stream_gen = stream_mode_name(cfg.rng_mode)
+    track_kind = "heatbath" if cfg.track_kp_exhaust else "metropolis"
 
     def stage(u, randomness, parity, mu, kind, beta=None):
         # randomness: the per-stage threefry key2, or the pre-drawn
         # uniforms block in PRNGCL stream mode
         a = staple_sum(u, mu)
-        track = with_acc and kind == "metropolis"
+        track = with_acc and kind == track_kind
         kw = dict(
             k_trials=cfg.kp_trials,
             n_hit=cfg.n_hit,
@@ -329,7 +332,8 @@ def make_chunk_runner(cfg: SimConfig):
     _maybe_warn_zt_mesh_fallback(cfg, _plat)
     from .runner import build_chunk_runner
 
-    sweep = make_sweep_fn(cfg, with_acc=cfg.track_acceptance)
+    track = cfg.track_acceptance or cfg.track_kp_exhaust
+    sweep = make_sweep_fn(cfg, with_acc=track)
     meas = make_measure_fn(cfg)
     stream_gen = stream_mode_name(cfg.rng_mode)
     if stream_gen is not None:
@@ -340,7 +344,7 @@ def make_chunk_runner(cfg: SimConfig):
         # (ranmar at 32^4: ~400 MB) and the checkpoint-load path
         # overwrites it without ever reading it.
         run = build_chunk_runner(
-            cfg, sweep, lambda st: meas(st[0]), with_acc=cfg.track_acceptance
+            cfg, sweep, lambda st: meas(st[0]), with_acc=track
         )
         run.make_stream_state0 = lambda: make_stream(
             stream_gen, cfg.seed, cfg.dims
@@ -354,7 +358,7 @@ def make_chunk_runner(cfg: SimConfig):
         )
         return run
     return build_chunk_runner(
-        cfg, sweep, meas, with_acc=cfg.track_acceptance
+        cfg, sweep, meas, with_acc=track
     )
 
 
@@ -371,7 +375,7 @@ class Simulation:
     (SURVEY.md §1 L4), with functional state underneath.
     """
 
-    def __init__(self, cfg: SimConfig, init_u=None):
+    def __init__(self, cfg: SimConfig, init_u=None, init_us=None):
         self.cfg = cfg
         self.base_key = rng.make_base_key(cfg.seed)
         self._run = make_chunk_runner(cfg)
@@ -393,6 +397,21 @@ class Simulation:
         # is one compiled program instead of dozens of dispatches anyway
         if init_u is not None:
             self.u = init_u
+        elif init_us is not None:
+            # engine-layout (packed) state, e.g. from a packed checkpoint
+            # — adopt it directly when the resolved engine runs that
+            # layout (the 64^4-class path: the canonical field never
+            # materializes), else reconstruct the canonical field once
+            if (self._stream is None
+                    and hasattr(self._run, "packed_cold_start")):
+                self._us = tuple(jnp.asarray(a) for a in init_us)
+            else:
+                from .ops.pallas.engine import join_links
+
+                dims = tuple(cfg.dims)
+                self.u = jax.jit(
+                    lambda t: join_links(t, dims)
+                )(tuple(jnp.asarray(a) for a in init_us))
         elif cfg.start == "hot":
             if self._stream is not None:
                 # runner-owned: the Pallas stream runner hot-starts in the
@@ -417,12 +436,15 @@ class Simulation:
                 self._us = self._run.packed_cold_start()
             else:
                 self.u = jax.jit(partial(cold_start, cfg))()
-        if is_lattice_sharded(cfg):
+        if is_lattice_sharded(cfg) and self._us is None:
             # place the links onto the domain-decomposition mesh here (not
             # in the CLI) so library users get a genuinely multi-device XLA
             # program too; the Pallas sharded runner re-packs under
             # shard_map either way, and re-placing an already-placed field
-            # is a no-op
+            # is a no-op.  Packed-direct starts (self._us set) skip this:
+            # the sharded runner's out_shardings already placed them, and
+            # touching self.u would materialize the canonical field the
+            # packed path exists to avoid.
             from .parallel.mesh import make_mesh, shard_links
 
             self.u = shard_links(self.u, make_mesh(cfg.mesh))
@@ -627,6 +649,15 @@ class Simulation:
             rng_stream = {
                 k: np.asarray(v) for k, v in self._stream_state.items()
             }
+        if (self._stream is None and isinstance(self._us, tuple)
+                and len(self._us) == 8):
+            # live engine-layout state: dump the packed f32 arrays as-is
+            # (at 64^4 the canonical-field join would not fit in HBM)
+            save_state(
+                path, self.cfg, None, self.sweep_idx, self.obs_history,
+                us=self._us,
+            )
+            return
         save_state(
             path, self.cfg, self.u, self.sweep_idx, self.obs_history,
             rng_stream=rng_stream,
@@ -637,7 +668,10 @@ class Simulation:
         from .utils.checkpoint import load_state
 
         cfg, u, sweep_idx, obs_history, rng_stream = load_state(path)
-        sim = cls(cfg, init_u=u)
+        if isinstance(u, tuple):
+            sim = cls(cfg, init_us=u)
+        else:
+            sim = cls(cfg, init_u=u)
         if sim._stream is not None:
             if rng_stream is None:
                 raise ValueError(

@@ -68,11 +68,20 @@ def links_from_host(ri: np.ndarray, cdtype):
 
 
 def save_state(path, cfg: SimConfig, u, sweep_idx: int, obs_history=None,
-               rng_stream=None):
+               rng_stream=None, us=None):
     """rng_stream: the PRNGCL per-site generator state dict for
     rng_mode='prngcl:<gen>' runs (QCDGPU dumps its PRNG state buffers the
     same way); None for counter-based modes, whose RNG state is
-    (seed, sweep_idx) and already lives in the config header."""
+    (seed, sweep_idx) and already lives in the config header.
+
+    us: the Pallas engine's packed 8-tuple state instead of the canonical
+    complex field u (pass exactly one).  Big lattices REQUIRE this path:
+    reconstructing the canonical field on device at SU(3) 64^4 is a
+    ~16.5 GB program on a 15.75 GB chip (ops/pallas/engine.py) — the
+    packed f32 arrays cross the host boundary directly (QCDGPU likewise
+    dumps its device-layout link buffers as-is).  Stored uncompressed:
+    equilibrated link data is incompressible and savez_compressed costs
+    minutes of host CPU at the ~GB sizes this path exists for."""
     from ..ops.measure import obs_names
 
     obs = (
@@ -81,18 +90,25 @@ def save_state(path, cfg: SimConfig, u, sweep_idx: int, obs_history=None,
         else np.zeros((0, len(obs_names(cfg))), np.float32)
     )
     extras = pack_rng_stream(rng_stream)
-    np.savez_compressed(
-        path,
+    header = dict(
         version=np.int64(FORMAT_VERSION),
         config_json=np.bytes_(json.dumps(cfg.to_dict()).encode()),
-        links_ri=links_to_host(u),
         sweep_idx=np.int64(sweep_idx),
         obs=obs,
-        **extras,
     )
+    if us is not None:
+        payload = {f"links_pk_{k}": np.asarray(a) for k, a in enumerate(us)}
+        np.savez(path, layout=np.bytes_(b"packed_eo2row"),
+                 **header, **payload, **extras)
+    else:
+        np.savez_compressed(path, links_ri=links_to_host(u),
+                            **header, **extras)
 
 
 def load_state(path):
+    """Returns (cfg, state, sweep_idx, history, rng_stream); state is the
+    canonical complex field, or the packed 8-tuple for layout=packed_eo2row
+    checkpoints (callers distinguish by isinstance(state, tuple))."""
     with np.load(path, allow_pickle=False) as z:
         version = int(z["version"])
         if version != FORMAT_VERSION:
@@ -105,7 +121,10 @@ def load_state(path):
             )
         cfg = SimConfig.from_dict(json.loads(bytes(z["config_json"]).decode()))
         cdtype = jnp.complex128 if cfg.dtype == "complex128" else jnp.complex64
-        u = links_from_host(z["links_ri"], cdtype)
+        if "links_ri" in z.files:
+            u = links_from_host(z["links_ri"], cdtype)
+        else:
+            u = tuple(jnp.asarray(z[f"links_pk_{k}"]) for k in range(8))
         sweep_idx = int(z["sweep_idx"])
         obs = z["obs"]
         rng_stream = unpack_rng_stream(z)

@@ -62,18 +62,25 @@ def check_su2(quick=False):
 
 
 def check_su3(quick=False):
+    # track_kp_exhaust: the production point doubles as the measured
+    # receipt for the fixed-K KP sampler's identity-fallback rate — the
+    # ~1e-6 analytic estimate of samplers.py must hold as data at
+    # beta=6.0/K=4 (VERDICT r2 #7); tracking does not perturb the chain.
     cfg = SimConfig(
         group=3, dims=(16, 16, 16, 16), beta=6.0, algorithm="heatbath",
         n_or=1, sweeps_therm=100 if quick else 300,
-        sweeps=200 if quick else 600, seed=7,
+        sweeps=200 if quick else 600, seed=7, track_kp_exhaust=True,
     )
-    _, st = _run_chain(cfg)
+    sim, st = _run_chain(cfg)
+    kp_rate = float(sim.analysis()["kp_exhaust_rate"].mean)
     dev = abs(st.mean - SU3_B60_PLQ)
     tol = max(5 * st.err, SU3_WINDOW)
     return {
-        "name": "SU(3) 16^4 beta=6.0 plaquette (HB + OR)",
-        "measured": st.mean, "err": st.err, "expected": SU3_B60_PLQ,
-        "tolerance": tol, "pass": bool(dev < tol),
+        "name": "SU(3) 16^4 beta=6.0 plaquette (HB + OR) + KP exhaustion",
+        "measured": {"plq": st.mean, "kp_exhaust_rate": kp_rate},
+        "err": st.err, "expected": SU3_B60_PLQ,
+        "tolerance": tol,
+        "pass": bool(dev < tol and kp_rate < 1e-5),
     }
 
 
@@ -304,11 +311,50 @@ def check_engines(quick=False):
     dobs = float(np.max(np.abs(
         np.asarray(outs["xla"][1]) - np.asarray(outs["pallas"][1])
     )))
+
+    # single-STAGE twin (VERDICT r2 weak #3): one fused heat-bath stage
+    # vs one XLA stage on identical inputs, before FMA rounding can
+    # amplify through 16 dependent stages x 2 sweeps — here the engines
+    # must agree to f32 rounding order (~1e-6 measured in interpret mode),
+    # so the tolerance drops three orders to 2e-5 and a subtle sampler bug
+    # perturbing links below the chain-level 1e-2 bound cannot hide.  A
+    # genuinely flipped KP accept decision moves a whole SU(3) matrix
+    # (O(1)) and fails loudly.
+    from .ops.lattice import parity_mask, site_index
+    from .ops.pallas import engine as peng
+    from .ops.pallas import update as pupd
+    from .ops.samplers import update_links
+    from .ops.staples import staple_sum
+
+    mu, parity = 1, 0
+    key2 = jrng.stage_key(key, 0, 5)
+
+    def stage_diff(u):
+        us = peng.split_links(u)
+        new = pupd.stage_update(
+            us, mu, parity, "heatbath", cfg.beta, key2, cfg.dims,
+            k_trials=cfg.kp_trials, n_hit=cfg.n_hit,
+            metro_delta=cfg.metro_delta, rng_mode="threefry",
+        )
+        k = 2 * mu + parity
+        us2 = us[:k] + (new,) + us[k + 1:]
+        got = peng.join_dir((us2[2 * mu], us2[2 * mu + 1]), cfg.dims,
+                            cfg.group)
+        a = staple_sum(u, mu)
+        ref = update_links(u[mu], a, "heatbath", cfg.beta, key2,
+                           site_index(cfg.dims), k_trials=cfg.kp_trials)
+        ref = jnp.where(parity_mask(cfg.dims, parity), ref, u[mu])
+        return jnp.max(jnp.abs(got - ref)).astype(jnp.float32)
+
+    dstage = float(jax.device_get(jax.jit(stage_diff)(u0)))
     return {
-        "name": "engine cross-validation (XLA vs Pallas, threefry, 2 sweeps)",
-        "measured": {"max_dlinks": dlinks, "max_dobs": dobs},
-        "expected": "max |dlinks| < 1e-2 and max |dobs| < 1e-4",
-        "pass": bool(dlinks < 1e-2 and dobs < 1e-4),
+        "name": "engine cross-validation (XLA vs Pallas, threefry, "
+                "2 sweeps + single stage)",
+        "measured": {"max_dlinks": dlinks, "max_dobs": dobs,
+                     "max_dstage": dstage},
+        "expected": "chain: |dlinks| < 1e-2, |dobs| < 1e-4; "
+                    "single stage: |dstage| < 2e-5",
+        "pass": bool(dlinks < 1e-2 and dobs < 1e-4 and dstage < 2e-5),
     }
 
 

@@ -229,3 +229,34 @@ def test_betascan_tracks_acceptance_per_chain():
         np.testing.assert_allclose(obs[i], ref, rtol=0, atol=2e-6)
         acc = obs[i, :, k]
         assert np.all((acc > 0.05) & (acc <= 1.0)), acc
+
+
+def test_packed_checkpoint_roundtrip(tmp_path):
+    """Packed (engine-layout) checkpoints: the 64^4-class save path that
+    never reconstructs the canonical complex field.  save_state(us=...)
+    must round-trip bit-exactly, and Simulation.load on an engine that
+    runs the canonical layout (XLA here) must rebuild the field via the
+    join fallback."""
+    import jax.numpy as jnp
+
+    from qcdgpu_tpu.ops import rng
+    from qcdgpu_tpu.ops.pallas.engine import split_links
+    from qcdgpu_tpu.sim import hot_start
+    from qcdgpu_tpu.utils.checkpoint import load_state, save_state
+
+    cfg = SimConfig(group=3, dims=(4, 4, 2, 4), beta=5.7, seed=2,
+                    sweeps_therm=0, sweeps=0)
+    u0 = hot_start(cfg, rng.make_base_key(2)).astype(jnp.complex64)
+    us = split_links(u0)
+    p = str(tmp_path / "packed.npz")
+    save_state(p, cfg, None, 5, us=us)
+
+    cfg2, st, idx, hist, rs = load_state(p)
+    assert cfg2 == cfg and idx == 5 and rs is None
+    assert isinstance(st, tuple) and len(st) == 8
+    for a, b in zip(st, us):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    sim = Simulation.load(p)
+    assert sim.sweep_idx == 5
+    assert float(np.max(np.abs(np.asarray(sim.u) - np.asarray(u0)))) < 1e-6

@@ -229,6 +229,30 @@ def test_stage_acceptance_count(u0, us):
     assert 0.2 * trials < int(cnt) < trials
 
 
+def test_stage_kp_exhaust_count(u0, us):
+    """In-kernel KP trial-exhaustion counting on a heatbath stage (same
+    trailing SMEM int32 machinery as the acceptance counts; VERDICT r2
+    #7): non-perturbing, deterministic, rejection-dominated at strong
+    coupling with K=1, and ~zero at the production point K=4."""
+    cfg = _cfg()
+    key2 = rng.stage_key(rng.make_base_key(1), 0, 5)
+    kw = dict(n_hit=cfg.n_hit, metro_delta=cfg.metro_delta, interpret=True)
+    beta_w = 0.5  # strong coupling: small staple norm, high KP rejection
+    plain = pupd.stage_update(us, 1, 1, "heatbath", beta_w, key2,
+                              DIMS, k_trials=1, **kw)
+    new, cnt = pupd.stage_update(us, 1, 1, "heatbath", beta_w, key2,
+                                 DIMS, k_trials=1, track_acc=True, **kw)
+    assert float(jnp.max(jnp.abs(new - plain))) < 1e-6
+    _, cnt2 = pupd.stage_update(us, 1, 1, "heatbath", beta_w, key2,
+                                DIMS, k_trials=1, track_acc=True, **kw)
+    assert int(cnt) == int(cnt2)
+    attempts = int(np.prod(DIMS)) // 2 * 3  # active sites x subgroups
+    assert 0.3 * attempts < int(cnt) <= attempts
+    _, cnt4 = pupd.stage_update(us, 1, 1, "heatbath", cfg.beta, key2,
+                                DIMS, k_trials=4, track_acc=True, **kw)
+    assert int(cnt4) <= 0.01 * attempts  # beta=5.5, K=4: ~1e-6-class
+
+
 @pytest.mark.slow
 def test_chunk_runner_tracks_acceptance(u0):
     """In-kernel Metropolis acceptance (SMEM int32 counts) vs the XLA

@@ -144,3 +144,32 @@ def test_metropolis_acceptance_moves_toward_equilibrium():
         u = sweep(u, rng.make_base_key(1), s)
     p = float(mean_plaquette(u)[0])
     assert p > p_hot + 0.1  # beta=6 equilibrium is ordered; must rise fast
+
+
+def test_kp_exhaust_rate_tracking():
+    """cfg.track_kp_exhaust: the measured identity-fallback rate of the
+    fixed-K KP sampler (VERDICT r2 #7 — the eps ~ 1e-6 exactness footnote
+    of samplers.py becomes data).  Strong coupling at K=1 exhausts often;
+    the production point beta=6/K=4 must be ~1e-6-class.  Tracking must
+    not perturb the chain (the accumulator rides outside the update)."""
+    from qcdgpu_tpu.ops.measure import obs_names
+    from qcdgpu_tpu.sim import make_chunk_runner
+
+    dims = (4, 4, 4, 4)
+    key = rng.make_base_key(1)
+    base = SimConfig(group=3, dims=dims, beta=0.5, kp_trials=1,
+                     engine="xla", seed=1, start="hot", reunit_every=0)
+    u0 = hot_start(base, key)
+
+    cfg = base.replace(track_kp_exhaust=True)
+    assert obs_names(cfg)[-1] == "kp_exhaust_rate"
+    u_t, obs = make_chunk_runner(cfg)(u0, key, 0, 2, 2)
+    rate_k1 = float(np.asarray(obs)[:, -1].mean())
+    assert 0.3 < rate_k1 < 1.0  # beta=0.5, K=1: rejection-dominated
+
+    u_p, _ = make_chunk_runner(base)(u0, key, 0, 2, 2)
+    assert np.array_equal(np.asarray(u_t), np.asarray(u_p))
+
+    cfg6 = cfg.replace(beta=6.0, kp_trials=4)
+    _, obs6 = make_chunk_runner(cfg6)(u0, key, 0, 2, 2)
+    assert float(np.asarray(obs6)[:, -1].max()) < 1e-4
