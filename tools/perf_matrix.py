@@ -45,6 +45,8 @@ ROWS = [
      dict(rng_mode="prngcl:mrg32k3a"), 20),
     ("metropolis n_hit=3 + acceptance tracking",
      dict(algorithm="metropolis", rng_mode="hw", track_acceptance=True), 50),
+    ("heatbath hw + KP-exhaustion tracking",
+     dict(rng_mode="hw", track_kp_exhaust=True), 50),
     ("heatbath hw + double (Kahan) measurement sums",
      dict(rng_mode="hw", meas_dtype="double"), 50),
     ("heatbath hw 64^4 (big-lattice headroom, ~3.2 GB links)",
@@ -75,8 +77,12 @@ def measure_row(label, overrides, sweeps):
         "link_updates_per_s": round(4 * vol * sweeps / dt),
         "plq": round(float(meas["plq"]), 6),
     }
-    if "acc_rate" in meas:
-        row["acc_rate"] = round(float(meas["acc_rate"]), 4)
+    if cfg.track_acceptance or cfg.track_kp_exhaust:
+        # engine-accumulated column (acc_rate / kp_exhaust_rate): rides
+        # the measured series, not the one-off measurement vector
+        obs = sim.run(4, measure_every=2)
+        name = "acc_rate" if cfg.track_acceptance else "kp_exhaust_rate"
+        row[name] = round(float(obs[:, -1].mean()), 6)
     return row
 
 
