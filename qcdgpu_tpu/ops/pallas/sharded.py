@@ -56,17 +56,19 @@ def _halo_pad(arr, m, axis_name, axis):
     return jnp.concatenate([left, arr, right], axis=axis)
 
 
-def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
-    """Sharded counterpart of engine.make_pallas_chunk_runner.
+def make_sharded_stage_fns(cfg: SimConfig, mx, my, interpret=False):
+    """Shard-local (sweep_local, measure_local) bodies for an X/Y-
+    decomposed lattice (mx x my shards).
 
-    mesh: the 4-axis device mesh; its "x" and/or "y" axes may exceed 1.
+    Mesh-AGNOSTIC: only the axis NAMES "x"/"y" are referenced (via
+    jax.lax.axis_index / ppermute / psum), so the same bodies serve both
+    the lattice-only chunk runner below and the chain x lattice ensemble
+    (models/ensemble.py vmaps them per chain under a ("c", "x", "y")
+    mesh).  sweep_local(state, base_key, sweep_idx, beta) -> state'
+    (or (state', tracked_rate)); measure_local(us) -> the standard
+    6-observable vector, psummed over the lattice axes.
     """
     dims = tuple(cfg.dims)
-    mx = mesh.shape["x"]
-    my = mesh.shape["y"]
-    if any(mesh.shape[a] != 1 for a in ("z", "t")):
-        raise ValueError("the Pallas engine shards along X/Y only; use the "
-                         "XLA engine for Z/T-sharded meshes")
     local_x = dims[0] // mx if mx > 1 else 0
     local_y = dims[1] // my if my > 1 else 0
     kinds = [cfg.algorithm] + ["overrelax"] * cfg.n_or
@@ -192,32 +194,8 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
             return st, total.astype(jnp.float32) / acc_denom
         return st
 
-    spec8 = tuple(P(None, None, None, "x", "y", None) for _ in range(8))
-    if stream_gen is None:
-        state_specs = spec8
-    else:
-        # stream-state specs: per-site word arrays shard like the links
-        # ([W, X, Y, ZT2] over "x"/"y"); 0-d scalar leaves replicate
-        word_spec = P(None, "x", "y", None)
-        rst_specs = {"words_e": word_spec, "words_o": word_spec}
-        for s in scalar_names:
-            rst_specs[s + "_e"] = P()
-            rst_specs[s + "_o"] = P()
-        state_specs = (spec8, rst_specs)
-    sweep_sharded = jax.shard_map(
-        sweep_local, mesh=mesh,
-        in_specs=(state_specs, P(None), P(), P()),
-        out_specs=(state_specs, P()) if with_acc else state_specs,
-        check_vma=False,
-    )
-
-    from ...runner import build_chunk_runner
-    from ..measure import cfg_fmunu_indices, cfg_wilson_pairs
     from . import measure as pmeasure
     from .engine import obs_base_from_sums
-
-    measure_fn = make_measure_fn(cfg)
-    beta = jnp.float32(cfg.beta)
 
     def measure_local(us):
         # fused per-shard Kahan reductions + psum over the lattice mesh
@@ -237,6 +215,59 @@ def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
             sre = jax.lax.psum(sre, acc_axes)
             sim = jax.lax.psum(sim, acc_axes)
         return obs_base_from_sums(sums, sre, sim, n, dims)
+
+    return sweep_local, measure_local
+
+
+def make_sharded_chunk_runner(cfg: SimConfig, mesh, interpret=False):
+    """Sharded counterpart of engine.make_pallas_chunk_runner.
+
+    mesh: the 4-axis device mesh; its "x" and/or "y" axes may exceed 1.
+    """
+    dims = tuple(cfg.dims)
+    mx = mesh.shape["x"]
+    my = mesh.shape["y"]
+    if any(mesh.shape[a] != 1 for a in ("z", "t")):
+        raise ValueError("the Pallas engine shards along X/Y only; use the "
+                         "XLA engine for Z/T-sharded meshes")
+    n = 2 if cfg.group == 2 else 3
+    with_acc = bool(cfg.track_acceptance or
+                    getattr(cfg, "track_kp_exhaust", False))
+    from ..prng_streams import REF_STREAM_GENERATORS, stream_mode_name
+
+    stream_gen = stream_mode_name(cfg.rng_mode)
+    scalar_names = ()
+    if stream_gen in REF_STREAM_GENERATORS:
+        scalar_names = ("nb",) if stream_gen.startswith("ranlux") else ("c",)
+        scalar_names = scalar_names + ("ptr",)
+    sweep_local, measure_local = make_sharded_stage_fns(
+        cfg, mx, my, interpret=interpret
+    )
+
+    spec8 = tuple(P(None, None, None, "x", "y", None) for _ in range(8))
+    if stream_gen is None:
+        state_specs = spec8
+    else:
+        # stream-state specs: per-site word arrays shard like the links
+        # ([W, X, Y, ZT2] over "x"/"y"); 0-d scalar leaves replicate
+        word_spec = P(None, "x", "y", None)
+        rst_specs = {"words_e": word_spec, "words_o": word_spec}
+        for sname in scalar_names:
+            rst_specs[sname + "_e"] = P()
+            rst_specs[sname + "_o"] = P()
+        state_specs = (spec8, rst_specs)
+    sweep_sharded = jax.shard_map(
+        sweep_local, mesh=mesh,
+        in_specs=(state_specs, P(None), P(), P()),
+        out_specs=(state_specs, P()) if with_acc else state_specs,
+        check_vma=False,
+    )
+
+    from ...runner import build_chunk_runner
+    from ..measure import cfg_fmunu_indices, cfg_wilson_pairs
+
+    measure_fn = make_measure_fn(cfg)
+    beta = jnp.float32(cfg.beta)
 
     extras = bool(cfg_fmunu_indices(cfg) or cfg_wilson_pairs(cfg)
                   or getattr(cfg, "get_qtop", False))

