@@ -169,6 +169,7 @@ def _build_config(args) -> "SimConfig":
     for k in ("group", "dims", "beta", "algorithm", "n_or", "n_hit",
               "kp_trials", "start", "sweeps_therm", "sweeps", "meas_every",
               "reunit_every", "ckpt_every", "seed", "dtype", "mesh", "engine",
+              "y_block",
               "rng_mode", "meas_dtype", "get_fmunu", "fmunu_index1",
               "fmunu_index2", "track_acceptance", "track_kp_exhaust",
               "wilson_loops", "get_qtop", "qtop_smear", "qtop_alpha"):

@@ -99,6 +99,11 @@ class SimConfig:
     # --- parallel --------------------------------------------------------
     # mesh axis sizes over the lattice site axes (X, Y, Z, T); 1 = unsharded.
     mesh: Tuple[int, int, int, int] = (1, 1, 1, 1)
+    # Pallas-engine Y tile size for big lattices (rows per stage-kernel
+    # call).  0 = auto: untiled until the full-Y kernel windows would
+    # exceed VMEM (SU(3) 64^4-class), then halved until they fit — see
+    # ops/pallas/update.auto_y_block.  Values >= Y disable tiling.
+    y_block: int = 0
 
     def __post_init__(self):
         if self.group not in (2, 3):
@@ -145,6 +150,12 @@ class SimConfig:
             raise ValueError(f"unknown meas_dtype {self.meas_dtype!r}")
         if self.ckpt_every < 0:
             raise ValueError("ckpt_every must be >= 0")
+        if self.y_block < 0:
+            raise ValueError("y_block must be >= 0")
+        if 0 < self.y_block < self.dims[1] and self.dims[1] % self.y_block:
+            raise ValueError(
+                f"y_block={self.y_block} must divide Y={self.dims[1]}"
+            )
         if self.ckpt_every and self.meas_every and (
             self.ckpt_every % self.meas_every
         ):

@@ -231,12 +231,27 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False, with_acc=False):
         k_trials=cfg.kp_trials, n_hit=cfg.n_hit, metro_delta=cfg.metro_delta,
         rng_mode=cfg.rng_mode, interpret=interpret,
     )
+    # big-lattice VMEM path: Y-tile the stage/reunit kernels when the
+    # full-Y windows exceed VMEM (update.auto_y_block; cfg.y_block
+    # overrides).  PRNGCL stream modes stay untiled — their per-site
+    # state arrays would not fit HBM at the sizes that need tiling.
+    yb = pupdate.effective_y_block(cfg, dims, cfg.group)
+    if yb and stream_gen is not None:
+        import warnings
+
+        warnings.warn(
+            f"y_block={yb} requested/derived but PRNGCL stream stages "
+            "are not Y-tiled; running untiled (may exceed VMEM on big "
+            "lattices)", stacklevel=2,
+        )
+        yb = 0
 
     def finish(us, sweep_idx):
         if cfg.reunit_every > 0:
             def do_reunit(us):
                 return tuple(
-                    reunitarize_dir(s, dims, interpret=interpret) for s in us
+                    reunitarize_dir(s, dims, interpret=interpret,
+                                    y_block=yb) for s in us
                 )
             us = jax.lax.cond(
                 (sweep_idx % cfg.reunit_every) == (cfg.reunit_every - 1),
@@ -262,10 +277,16 @@ def make_pallas_sweep(cfg: SimConfig, interpret=False, with_acc=False):
             for parity in (0, 1):
                 for mu in range(NDIM):
                     key2 = rng.stage_key(base_key, sweep_idx, stage_id)
-                    new = pupdate.stage_update(
-                        us, mu, parity, kind, b, key2, dims,
-                        track_acc=track, **kw
-                    )
+                    if yb:
+                        new = pupdate.stage_update_ytiled(
+                            us, mu, parity, kind, b, key2, dims, yb,
+                            track_acc=track, **kw
+                        )
+                    else:
+                        new = pupdate.stage_update(
+                            us, mu, parity, kind, b, key2, dims,
+                            track_acc=track, **kw
+                        )
                     if track:
                         new, cnt = new
                         acc_cnt = acc_cnt + cnt
@@ -365,8 +386,14 @@ def measure_all_split(us, dims, interpret=False, cfg=None):
     field once per measurement and reuses the XLA path (it is an opt-in
     extra, so the join cost is accepted there)."""
     n = us[0].shape[1]
-    sums = pmeasure.plane_sums(us, dims, interpret=interpret)
-    sre, sim = pmeasure.polyakov_sums(us, dims, interpret=interpret)
+    yb = pupdate.effective_y_block(cfg, dims, n)
+    if yb:
+        sums = pmeasure.plane_sums_tiled(us, dims, yb, interpret=interpret)
+        sre, sim = pmeasure.polyakov_sums_tiled(us, dims, yb,
+                                                interpret=interpret)
+    else:
+        sums = pmeasure.plane_sums(us, dims, interpret=interpret)
+        sre, sim = pmeasure.polyakov_sums(us, dims, interpret=interpret)
     base = obs_base_from_sums(sums, sre, sim, n, dims)
     indices = cfg_fmunu_indices(cfg) if cfg is not None else ()
     pairs = cfg_wilson_pairs(cfg)

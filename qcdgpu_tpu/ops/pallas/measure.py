@@ -455,3 +455,47 @@ def polyakov_sums_local(us, dims, local_x, local_y, x_offset, y_offset,
                              local_x, local_y)(us[6], us[7],
                                                x_offset, y_offset)
     return out[0, 0] - out[0, 1], out[1, 0] - out[1, 1]
+
+
+# ---------------------------------------------------------------------------
+# Y-tiled single-chip variants (the big-lattice VMEM path; see
+# update.auto_y_block) — the shard-local kernels driven over wraparound
+# row tiles on one device, sums accumulated across tiles.
+# ---------------------------------------------------------------------------
+
+
+def plane_sums_tiled(us, dims, y_block, interpret=False):
+    """plane_sums evaluated in Y tiles of y_block rows."""
+    from .update import _ywrap_pad
+
+    n = us[0].shape[1]
+    y = dims[1]
+    total = None
+    for lo in range(0, y, int(y_block)):
+        padded = tuple(_ywrap_pad(a, lo, int(y_block), y) for a in us)
+        s = None
+        for parity in (0, 1):
+            out = _plq_sharded_call(
+                n, tuple(dims), parity, bool(interpret), 0, int(y_block)
+            )(padded, None, jnp.uint32(lo))
+            v = out[:, 0] - out[:, 1]
+            s = v if s is None else s + v
+        total = s if total is None else total + s
+    return total
+
+
+def polyakov_sums_tiled(us, dims, y_block, interpret=False):
+    """polyakov_sums evaluated in Y tiles (no pads: T rides the lanes)."""
+    n = us[0].shape[1]
+    y = dims[1]
+    sre = sim = None
+    for lo in range(0, y, int(y_block)):
+        u6 = jax.lax.slice_in_dim(us[6], lo, lo + int(y_block), axis=4)
+        u7 = jax.lax.slice_in_dim(us[7], lo, lo + int(y_block), axis=4)
+        out = _poly_sharded_call(
+            n, tuple(dims), bool(interpret), 0, int(y_block)
+        )(u6, u7, None, jnp.uint32(lo))
+        re, im = out[0, 0] - out[0, 1], out[1, 0] - out[1, 1]
+        sre = re if sre is None else sre + re
+        sim = im if sim is None else sim + im
+    return sre, sim

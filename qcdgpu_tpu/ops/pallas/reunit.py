@@ -68,15 +68,24 @@ def _reunit_kernel(i_ref, o_ref, *, n):
 
 
 @lru_cache(maxsize=None)
-def _reunit_call(n, dims, interpret):
+def _reunit_call(n, dims, interpret, y_block=0):
     X = dims[0]
     Y, ZT2 = dims[1], dims[2] * (dims[3] // 2)
-    block = (2, n, 2, 1, Y, ZT2)
-    spec = pl.BlockSpec(block, lambda i: (0, 0, 0, i, 0, 0),
-                        memory_space=pltpu.VMEM)
+    if y_block:
+        # big-lattice VMEM path (update.auto_y_block): site-local kernel,
+        # so Y tiling is a plain second grid axis — no halos
+        block = (2, n, 2, 1, y_block, ZT2)
+        spec = pl.BlockSpec(block, lambda i, j: (0, 0, 0, i, j, 0),
+                            memory_space=pltpu.VMEM)
+        grid = (X, Y // y_block)
+    else:
+        block = (2, n, 2, 1, Y, ZT2)
+        spec = pl.BlockSpec(block, lambda i: (0, 0, 0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        grid = (X,)
     return pl.pallas_call(
         partial(_reunit_kernel, n=n),
-        grid=(X,),
+        grid=grid,
         in_specs=[spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((2, n, 2, X, Y, ZT2), jnp.float32),
@@ -87,7 +96,7 @@ def _reunit_call(n, dims, interpret):
     )
 
 
-def reunitarize_dir(s, dims, interpret=False):
+def reunitarize_dir(s, dims, interpret=False, y_block=0):
     """Project one packed (direction, parity) field back onto SU(N)."""
     n = s.shape[1]
-    return _reunit_call(n, tuple(dims), bool(interpret))(s)
+    return _reunit_call(n, tuple(dims), bool(interpret), int(y_block))(s)

@@ -624,6 +624,83 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
     return apply
 
 
+def auto_y_block(dims, n):
+    """Pick a Y tile size for the single-chip big-lattice path, 0 = no
+    tiling needed.  One stage input window is [2, n, 2, 1, Y, Z*T/2] f32;
+    the kernels hold ~16 such windows double-buffered plus a multi-MB
+    working set, so windows must stay ~2 MB-class (the 32^4 point, which
+    fits VMEM with room) — at SU(3) 64^4 the full-Y window is 12 MB and
+    the stage program needs 263 MB of 128 MB VMEM (measured compile
+    error).  Halving Y until the window fits keeps tiles row-aligned with
+    the packed layout."""
+    y, zt2 = dims[1], dims[2] * (dims[3] // 2)
+    if 2 * n * 2 * y * zt2 * 4 <= 2 * 1024 * 1024:  # 32^4-class: fits
+        return 0
+    # tiled windows carry 2 extra halo rows; target well under the 32^4
+    # working size — at 64^4, yb=16 windows (18 rows) compile to 101 MB
+    # scoped VMEM against the 100 MB limit (measured), yb=8 fits
+    limit = 1_250_000
+    yb = y
+    while yb % 2 == 0 and yb > 2 and 2 * n * 2 * (yb + 2) * zt2 * 4 > limit:
+        yb //= 2
+    return yb if yb < y else 0
+
+
+def effective_y_block(cfg, dims, n):
+    """cfg.y_block override (clamped off at >= Y) or the auto heuristic."""
+    yb = int(getattr(cfg, "y_block", 0) or 0) if cfg is not None else 0
+    if yb:
+        return 0 if yb >= dims[1] else yb
+    return auto_y_block(dims, n)
+
+
+def _ywrap_pad(a, lo, yb, y):
+    """Rows [lo-1 .. lo+yb] of a packed field with torus wraparound along
+    the Y axis (axis 4) — the single-device analogue of the sharded
+    engine's ppermute Y-halo pad."""
+    left = jax.lax.slice_in_dim(a, (lo - 1) % y, (lo - 1) % y + 1, axis=4)
+    mid = jax.lax.slice_in_dim(a, lo, lo + yb, axis=4)
+    right = jax.lax.slice_in_dim(a, (lo + yb) % y, (lo + yb) % y + 1, axis=4)
+    return jnp.concatenate([left, mid, right], axis=4)
+
+
+def stage_update_ytiled(us, mu, parity, kind, beta, key2, dims, y_block, *,
+                        k_trials=4, n_hit=3, metro_delta=0.35,
+                        rng_mode="threefry", interpret=False,
+                        track_acc=False):
+    """One fused stage evaluated in Y tiles of ``y_block`` rows — the
+    single-chip big-lattice path (see auto_y_block).  Reuses the sharded
+    engine's Y-halo kernel variant (local_y) with wraparound row pads
+    built in XLA.  Correctness is structural: a stage is a pure function
+    of the pre-stage field (the kernel never reads its own output), so
+    evaluating disjoint row ranges in separate calls over the same
+    inputs is exactly the untiled stage.  threefry site keys are global
+    (slab_site_index_packed with y0), so tiled and untiled chains draw
+    identical randomness; PRNGCL stream states are not threaded (stream
+    word arrays would not fit HBM at the sizes that need tiling)."""
+    n = us[0].shape[1]
+    y = dims[1]
+    apply = _stage_call(n, tuple(dims), mu, parity, kind, int(k_trials),
+                        int(n_hit), float(metro_delta), rng_mode,
+                        bool(interpret), local_x=0, local_y=int(y_block),
+                        stream=False, track_acc=bool(track_acc))
+    outs = []
+    acc = jnp.int32(0)
+    for lo in range(0, y, int(y_block)):
+        padded = tuple(_ywrap_pad(a, lo, int(y_block), y) for a in us)
+        r = apply(key2, beta, padded, None, jnp.uint32(lo))
+        if track_acc:
+            new, acc_arr = r
+            acc = acc + acc_arr[0, 0]
+        else:
+            new = r
+        outs.append(new)
+    new_field = jnp.concatenate(outs, axis=4)
+    if track_acc:
+        return new_field, acc
+    return new_field
+
+
 def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
                  n_hit=3, metro_delta=0.35, rng_mode="threefry",
                  interpret=False, stream_state=None, stream_scalars=None,

@@ -331,3 +331,58 @@ def test_simulation_packed_init_and_measure(monkeypatch):
         ref = dict(zip(measure_obs_names(cfg), ref.tolist()))
         for k in ref:
             np.testing.assert_allclose(got[k], ref[k], atol=2e-6, err_msg=k)
+
+
+def test_y_tiled_kernels_match_untiled(u0, us):
+    """Big-lattice Y tiling (cfg.y_block; VMEM path for 64^4-class runs):
+    every tiled kernel — stage update over wraparound row pads, plaquette
+    and Polyakov tile sums, 2D-grid reunit — must reproduce its untiled
+    twin (threefry site keys are global; a stage is a pure function of
+    the pre-stage field)."""
+    cfg = _cfg()
+    key2 = rng.stage_key(rng.make_base_key(1), 0, 7)
+    plain = pupd.stage_update(us, 1, 0, "heatbath", cfg.beta, key2, DIMS,
+                              interpret=True)
+    tiled = pupd.stage_update_ytiled(us, 1, 0, "heatbath", cfg.beta, key2,
+                                     DIMS, 2, interpret=True)
+    assert float(jnp.max(jnp.abs(tiled - plain))) < 2e-5
+
+    s_ref = pmeas.plane_sums(us, DIMS, interpret=True)
+    s_t = pmeas.plane_sums_tiled(us, DIMS, 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(s_t), np.asarray(s_ref),
+                               rtol=0, atol=1e-4)
+    pr, pi = pmeas.polyakov_sums(us, DIMS, interpret=True)
+    tr, ti = pmeas.polyakov_sums_tiled(us, DIMS, 2, interpret=True)
+    assert abs(float(tr) - float(pr)) < 1e-4
+    assert abs(float(ti) - float(pi)) < 1e-4
+
+    r_ref = reunitarize_dir(us[0], DIMS, interpret=True)
+    r_t = reunitarize_dir(us[0], DIMS, interpret=True, y_block=2)
+    assert float(jnp.max(jnp.abs(r_t - r_ref))) < 1e-6
+
+
+@pytest.mark.slow
+def test_y_tiled_engine_matches_untiled(u0):
+    """Full tiled chunk runner vs untiled (16 tiled stage programs: slow
+    to compile, so RUN_SLOW; the per-kernel twins above run per-commit)."""
+    from qcdgpu_tpu.ops.pallas.engine import make_pallas_chunk_runner
+
+    cfg = _cfg(reunit_every=2)
+    key = rng.make_base_key(1)
+    run_u = make_pallas_chunk_runner(cfg, interpret=True)
+    u_ref, obs_ref = run_u(u0, key, 0, 2, 2)
+    run_t = make_pallas_chunk_runner(cfg.replace(y_block=2), interpret=True)
+    u_t, obs_t = run_t(u0, key, 0, 2, 2)
+    assert float(jnp.max(jnp.abs(u_t - u_ref))) < 2e-5
+    np.testing.assert_allclose(np.asarray(obs_t), np.asarray(obs_ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_auto_y_block_heuristic():
+    from qcdgpu_tpu.ops.pallas.update import auto_y_block
+
+    assert auto_y_block((32, 32, 32, 32), 3) == 0   # 1.5 MB window: fits
+    # 6.3 MB windows -> ~1 MB padded tiles (yb=16 measured 101 MB scoped
+    # VMEM vs the 100 MB limit; yb=8 fits)
+    assert auto_y_block((64, 64, 64, 64), 3) == 8
+    assert auto_y_block((4, 4, 2, 4), 2) == 0

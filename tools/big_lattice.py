@@ -107,18 +107,27 @@ def main():
     sim.save(ckpt)
     rec["ckpt_save_s"] = round(time.perf_counter() - t0, 1)
     rec["ckpt_bytes"] = os.path.getsize(ckpt)
+
+    # state bit-equality is certified by continuing BOTH chains: any
+    # link-state difference would decohere the chaotic chains immediately.
+    # Chains run SEQUENTIALLY — two live 3.2 GB states plus a sweep
+    # program's in+out buffers exceed one chip's HBM (measured
+    # RESOURCE_EXHAUSTED with both sims resident).
+    o_a = sim.run(4, measure_every=2)
+    sweep0 = sim.sweep_idx
+    del sim
+    import gc
+
+    gc.collect()
+
     t0 = time.perf_counter()
     sim2 = Simulation.load(ckpt)
     rec["ckpt_load_s"] = round(time.perf_counter() - t0, 1)
     assert sim2._us is not None, "packed adopt expected"
-    assert sim2.sweep_idx == sim.sweep_idx
+    assert sim2.sweep_idx == sweep0 - 4
     print(json.dumps({"phase": "ckpt", "save_s": rec["ckpt_save_s"],
                       "load_s": rec["ckpt_load_s"],
                       "bytes": rec["ckpt_bytes"]}), flush=True)
-
-    # state bit-equality is certified by continuing BOTH chains: any
-    # link-state difference would decohere the chaotic chains immediately
-    o_a = sim.run(4, measure_every=2)
     o_b = sim2.run(4, measure_every=2)
     rec["resume_obs_a"] = [round(float(x), 7) for x in o_a[:, 0]]
     rec["resume_obs_b"] = [round(float(x), 7) for x in o_b[:, 0]]
