@@ -239,7 +239,28 @@ class _LoadCtx:
         key = (d, par, dx)
         if key not in self._cache:
             ref = self.refs[self.slabs.index(key)]
-            self._cache[key] = core.load_mat_packed(ref, self.n)
+            if isinstance(ref, tuple):
+                # Y-tiled mode (_stage_call_ytiled): the slab arrives as
+                # (previous-tile, main-tile, next-tile) operands of the
+                # SAME array (Mosaic needs 8-row block granularity, so
+                # whole neighbor tiles stand in for 1-row halo windows);
+                # assemble the Y-padded rows in-register from the
+                # neighbors' edge rows — no halo copy ever hits HBM
+                up, mn, dn = (core.load_mat_packed(r, self.n) for r in ref)
+                self._cache[key] = tuple(
+                    tuple(
+                        (jnp.concatenate(
+                            [up[r][c][0][-1:], mn[r][c][0],
+                             dn[r][c][0][:1]], axis=0),
+                         jnp.concatenate(
+                            [up[r][c][1][-1:], mn[r][c][1],
+                             dn[r][c][1][:1]], axis=0))
+                        for c in range(len(mn[0]))
+                    )
+                    for r in range(len(mn))
+                )
+            else:
+                self._cache[key] = core.load_mat_packed(ref, self.n)
         return self._cache[key]
 
     def U(self, d, dx=0, shifts=()):
@@ -386,7 +407,14 @@ def tracked_stat_denom(cfg, dims):
 
 def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
                   k_trials, n_hit, metro_delta, rng_mode, slabs, local_y,
-                  stream_gen=None, track_acc=False):
+                  stream_gen=None, track_acc=False, ytile=0):
+    if ytile:
+        # Y-tiled mode: slab operands arrive as consecutive
+        # (up, main, down) triples — regroup before the generic
+        # output/acc-ref peeling below
+        ns = len(slabs)
+        refs = (tuple(tuple(refs[3 * k : 3 * k + 3]) for k in range(ns))
+                + tuple(refs[3 * ns:]))
     # scalar-prefetch layout: [k0, k1, x_offset, y_offset] — the global
     # coordinates of this shard's first slab/row (0 when unsharded), so
     # parities and threefry site keys are global and sharded chains are
@@ -408,13 +436,15 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
     else:
         o_ref = refs[-1]
     x = pl.program_id(0) + key_ref[2].astype(jnp.int32)
-    y0 = key_ref[3].astype(jnp.int32)
+    eff_ly = ytile or local_y
+    y0 = (pl.program_id(1) * ytile if ytile
+          else key_ref[3].astype(jnp.int32))
     # dims2's Y entry is the ROW COUNT of the loaded blocks (padded by the
-    # two Y-halo rows in Y-sharded mode) — it shapes the shift masks
-    y_rows = local_y + 2 if local_y else dims[1]
+    # two Y-halo rows in Y-sharded/tiled mode) — it shapes the shift masks
+    y_rows = eff_ly + 2 if eff_ly else dims[1]
     dims2 = (dims[0], y_rows, dims[2], dims[3] // 2)
     ctx = _LoadCtx(parity, n, slabs, refs[:-1], x, dims2,
-                   local_y=local_y, y0=y0)
+                   local_y=eff_ly, y0=y0)
     beta = beta_ref[0, 0]
 
     u_mu, w = _staple_W(ctx, mu)
@@ -423,7 +453,7 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
     sgs = _subgroups(n)
     per = _uniforms_per_subgroup(kind, k_trials, n_hit)
     per_slots = (per + 1) // 2
-    shape = (local_y if local_y else dims[1], dims[2] * (dims[3] // 2))
+    shape = (eff_ly if eff_ly else dims[1], dims[2] * (dims[3] // 2))
     if per and stream_gen is not None:
         from ..prng_streams import (
             REF_STREAM_GENERATORS,
@@ -451,7 +481,10 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
         u_all = [open01(u) for u in u_all]
     elif per and rng_mode == "hw":
         xu = x.astype(jnp.uint32) if hasattr(x, "astype") else jnp.uint32(x)
-        yu = key_ref[3]
+        # ytile mode: the per-tile global first row must enter the seed
+        # (the scalar-channel y offset is constant across the grid, and a
+        # shared seed would draw IDENTICAL uniforms for every tile)
+        yu = (y0.astype(jnp.uint32) if ytile else key_ref[3])
         pltpu.prng_seed(
             key_ref[0] ^ (xu * jnp.uint32(0x9E3779B9))
             ^ (yu * jnp.uint32(0x85EBCA6B)),
@@ -460,7 +493,7 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
         u_all = core.hw_uniforms(2 * per_slots * len(sgs), shape)
     elif per:
         sidx = core.slab_site_index_packed(x, parity, dims, y0=y0,
-                                           local_y=local_y)
+                                           local_y=eff_ly)
         u_all = core.slab_uniforms(
             key_ref[0], key_ref[1], sidx, 2 * per_slots * len(sgs)
         )
@@ -494,7 +527,11 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
     core.store_mat_packed(o_ref, u_mu, n)
 
     if track_acc:
-        @pl.when(pl.program_id(0) == 0)
+        first = pl.program_id(0) == 0
+        if ytile:
+            first = jnp.logical_and(first, pl.program_id(1) == 0)
+
+        @pl.when(first)
         def _():
             o_acc_ref[0, 0] = 0
         o_acc_ref[0, 0] += acc_total
@@ -599,6 +636,10 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
+            # NB: Mosaic's scoped allocation scales with this cap (at
+            # 64^4/yb=16: 101 MB wanted at a 100 MB cap, 117.6 MB at a
+            # 112 MB cap — both measured), so raising it does not buy
+            # bigger tiles; auto_y_block sizes tiles to fit this cap
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=bool(interpret),
@@ -664,41 +705,127 @@ def _ywrap_pad(a, lo, yb, y):
     return jnp.concatenate([left, mid, right], axis=4)
 
 
+@lru_cache(maxsize=None)
+def _stage_call_ytiled(n, dims, mu, parity, kind, k_trials, n_hit,
+                       metro_delta, rng_mode, interpret, ytile,
+                       track_acc=False):
+    """Y-tiled single-call variant of _stage_call: one pallas_call over a
+    2D (X, Y/ytile) grid.  Each slab rides as THREE operands of the same
+    array — the ytile-row main block plus two 1-ROW wraparound halo
+    blocks (a 1-row BlockSpec makes the block index a plain row index,
+    so (j*ytile - 1) % Y addresses the torus neighbor directly) — and
+    the kernel assembles the Y-padded rows in-register.  Nothing is
+    materialized in HBM: the first Y-tiling implementation padded each
+    tile with XLA concats, which re-wrote ~1.25x the field per stage and
+    measured 244 ms/sweep at SU(3) 64^4; this form reads only raw slabs
+    (+2 re-read halo rows per tile)."""
+    X = dims[0]
+    Y, ZT2 = dims[1], dims[2] * (dims[3] // 2)
+    slabs = stage_slabs(mu, parity, n)
+    yb = int(ytile)
+    YB = Y // yb
+    main_block = (2, n, 2, 1, yb, ZT2)
+
+    def mk_specs(dx):
+        # three consecutive Y tiles of the same array (torus-wrapped):
+        # Mosaic requires 8-row block granularity, so the halo windows
+        # are the NEIGHBOR TILES — the kernel consumes only their edge
+        # rows (see _LoadCtx._load)
+        up = pl.BlockSpec(
+            main_block,
+            lambda i, j, _kref, dx=dx: (
+                0, 0, 0, (i + dx) % X, (j - 1) % YB, 0),
+            memory_space=pltpu.VMEM,
+        )
+        main = pl.BlockSpec(
+            main_block,
+            lambda i, j, _kref, dx=dx: (0, 0, 0, (i + dx) % X, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        down = pl.BlockSpec(
+            main_block,
+            lambda i, j, _kref, dx=dx: (
+                0, 0, 0, (i + dx) % X, (j + 1) % YB, 0),
+            memory_space=pltpu.VMEM,
+        )
+        return [up, main, down]
+
+    beta_spec = pl.BlockSpec(
+        (1, 1), lambda i, j, _kref: (0, 0), memory_space=pltpu.SMEM
+    )
+    in_specs = [beta_spec]
+    for (_, _, dx) in slabs:
+        in_specs += mk_specs(dx)
+    out_specs = pl.BlockSpec(
+        main_block, lambda i, j, _kref: (0, 0, 0, i, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((2, n, 2, X, Y, ZT2), jnp.float32)
+    if track_acc:
+        acc_spec = pl.BlockSpec(
+            (1, 1), lambda i, j, _kref: (0, 0), memory_space=pltpu.SMEM
+        )
+        out_specs = (out_specs, acc_spec)
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), jnp.int32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(X, YB),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    kern = partial(
+        _stage_kernel, mu=mu, parity=parity, kind=kind, n=n, dims=dims,
+        k_trials=k_trials, n_hit=n_hit, metro_delta=metro_delta,
+        rng_mode=rng_mode, slabs=slabs, local_y=0, stream_gen=None,
+        track_acc=track_acc, ytile=yb,
+    )
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=bool(interpret),
+    )
+
+    def apply(key2, beta, us):
+        beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
+        scal = jnp.concatenate([key2, jnp.zeros((2,), jnp.uint32)])
+        args = []
+        for (d, par, _) in slabs:
+            arr = us[2 * d + par]
+            args += [arr, arr, arr]  # up/main/down views of one buffer
+        return call(scal, beta_arr, *args)
+
+    return apply
+
+
 def stage_update_ytiled(us, mu, parity, kind, beta, key2, dims, y_block, *,
                         k_trials=4, n_hit=3, metro_delta=0.35,
                         rng_mode="threefry", interpret=False,
                         track_acc=False):
     """One fused stage evaluated in Y tiles of ``y_block`` rows — the
-    single-chip big-lattice path (see auto_y_block).  Reuses the sharded
-    engine's Y-halo kernel variant (local_y) with wraparound row pads
-    built in XLA.  Correctness is structural: a stage is a pure function
-    of the pre-stage field (the kernel never reads its own output), so
-    evaluating disjoint row ranges in separate calls over the same
-    inputs is exactly the untiled stage.  threefry site keys are global
-    (slab_site_index_packed with y0), so tiled and untiled chains draw
-    identical randomness; PRNGCL stream states are not threaded (stream
-    word arrays would not fit HBM at the sizes that need tiling)."""
+    single-chip big-lattice path (see auto_y_block), as ONE pallas_call
+    over a 2D grid with in-register halo assembly (_stage_call_ytiled).
+    Correctness is structural: a stage is a pure function of the
+    pre-stage field (the kernel never reads its own output), so
+    evaluating disjoint row ranges across the grid is exactly the
+    untiled stage.  threefry site keys are global (slab_site_index_packed
+    with per-tile y0), so tiled and untiled chains draw identical
+    randomness; PRNGCL stream states are not threaded (stream word
+    arrays would not fit HBM at the sizes that need tiling)."""
     n = us[0].shape[1]
-    y = dims[1]
-    apply = _stage_call(n, tuple(dims), mu, parity, kind, int(k_trials),
-                        int(n_hit), float(metro_delta), rng_mode,
-                        bool(interpret), local_x=0, local_y=int(y_block),
-                        stream=False, track_acc=bool(track_acc))
-    outs = []
-    acc = jnp.int32(0)
-    for lo in range(0, y, int(y_block)):
-        padded = tuple(_ywrap_pad(a, lo, int(y_block), y) for a in us)
-        r = apply(key2, beta, padded, None, jnp.uint32(lo))
-        if track_acc:
-            new, acc_arr = r
-            acc = acc + acc_arr[0, 0]
-        else:
-            new = r
-        outs.append(new)
-    new_field = jnp.concatenate(outs, axis=4)
+    apply = _stage_call_ytiled(n, tuple(dims), mu, parity, kind,
+                               int(k_trials), int(n_hit),
+                               float(metro_delta), rng_mode,
+                               bool(interpret), int(y_block),
+                               track_acc=bool(track_acc))
+    r = apply(key2, beta, us)
     if track_acc:
-        return new_field, acc
-    return new_field
+        new, acc_arr = r
+        return new, acc_arr[0, 0]
+    return r
 
 
 def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,
