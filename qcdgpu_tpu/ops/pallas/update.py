@@ -193,12 +193,15 @@ class _PlanCtx:
         self.p = p
         self.n = n
         self.slabs = []
+        self.yhalo = set()  # keys ever read with a Y shift
 
     def U(self, d, dx=0, shifts=()):
         par = (self.p + dx + len(shifts)) % 2
         key = (d, par, dx)
         if key not in self.slabs:
             self.slabs.append(key)
+        if any(ax == 1 for ax, _ in shifts):
+            self.yhalo.add(key)
         one = (1.0, 0.0)
         return tuple(tuple(one for _ in range(self.n)) for _ in range(self.n))
 
@@ -222,7 +225,8 @@ class _LoadCtx:
     x + y matters to the masks).
     """
 
-    def __init__(self, p, n, slabs, refs, x, dims2, local_y=0, y0=0):
+    def __init__(self, p, n, slabs, refs, x, dims2, local_y=0, y0=0,
+                 ytile_flags=None):
         self.p = p
         self.n = n
         self.slabs = slabs
@@ -230,6 +234,10 @@ class _LoadCtx:
         self.x = x
         self.dims2 = dims2
         self.local_y = local_y
+        # Y-tiled mode: per-slab "carries Y-halo rows" flags (see
+        # stage_yhalo_flags); None = every slab is halo-padded (the
+        # Y-sharded multi-chip path, where ppermute pads all slabs)
+        self.ytile_flags = ytile_flags
         # parity-equivalent x for the shift masks: fold the global row
         # offset of padded-block row 0 (y0 - 1) into x
         self.xpar = x + (y0 - 1) if local_y else x
@@ -273,16 +281,28 @@ class _LoadCtx:
                 m = core.shift_mat_packed(m, ax, dd, a, self.x + dx,
                                           self.dims2)
             return m
+        padded = (self.ytile_flags is None
+                  or self.ytile_flags[self.slabs.index((d, par, dx))])
+        if padded:
+            xbase, d2 = self.xpar, self.dims2
+        else:
+            # unpadded Y-tiled slab: rows sit at global y = y0 + r (one
+            # MORE than padded row 0's y0 - 1 — parity folds as +1), and
+            # the shift masks must shape to local_y rows, not local_y + 2
+            xbase = self.xpar + 1
+            d2 = (self.dims2[0], self.local_y, self.dims2[2], self.dims2[3])
         dy = 0
         for ax, dd in shifts:
             if ax == 1:
                 dy += dd
             else:
                 a = (a + 1) % 2
-                m = core.shift_mat_packed(m, ax, dd, a, self.xpar + dx,
-                                          self.dims2)
+                m = core.shift_mat_packed(m, ax, dd, a, xbase + dx, d2)
         # the staple recipe never composes two Y steps in one read
         assert -1 <= dy <= 1, dy
+        if not padded:
+            assert dy == 0, (d, par, dx, dy)  # no halo rows to slice
+            return m
         r0 = 1 + dy
         return core.mmap(
             lambda c: (c[0][r0:r0 + self.local_y], c[1][r0:r0 + self.local_y]),
@@ -332,6 +352,19 @@ def stage_slabs(mu, parity, n):
     plan.U(mu)  # the update target comes first
     _staple_W(plan, mu)
     return tuple(plan.slabs)
+
+
+def stage_yhalo_flags(mu, parity, n):
+    """Per-slab bools (aligned with stage_slabs): does the staple recipe
+    ever read this slab with a Y shift?  Only those slabs need Y-neighbor
+    rows in the Y-tiled big-lattice kernels — 3-6 of the 12-14 slabs per
+    stage — so the rest ride as single unpadded operands (measured at
+    SU(3) 32^4 yb=8: all-slabs-haloed costs 13.5 ms/sweep vs 8.3
+    untiled; see _stage_call_ytiled)."""
+    plan = _PlanCtx(parity, n)
+    plan.U(mu)
+    _staple_W(plan, mu)
+    return tuple(k in plan.yhalo for k in plan.slabs)
 
 
 # ---------------------------------------------------------------------------
@@ -407,14 +440,22 @@ def tracked_stat_denom(cfg, dims):
 
 def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
                   k_trials, n_hit, metro_delta, rng_mode, slabs, local_y,
-                  stream_gen=None, track_acc=False, ytile=0):
+                  stream_gen=None, track_acc=False, ytile=0,
+                  ytile_flags=None):
     if ytile:
-        # Y-tiled mode: slab operands arrive as consecutive
-        # (up, main, down) triples — regroup before the generic
-        # output/acc-ref peeling below
-        ns = len(slabs)
-        refs = (tuple(tuple(refs[3 * k : 3 * k + 3]) for k in range(ns))
-                + tuple(refs[3 * ns:]))
+        # Y-tiled mode: Y-halo slabs (stage_yhalo_flags) arrive as
+        # consecutive (up, main, down) triples, the rest as single
+        # operands — regroup before the generic output/acc-ref peeling
+        # below
+        grouped, pos = [], 0
+        for flag in ytile_flags:
+            if flag:
+                grouped.append(tuple(refs[pos:pos + 3]))
+                pos += 3
+            else:
+                grouped.append(refs[pos])
+                pos += 1
+        refs = tuple(grouped) + tuple(refs[pos:])
     # scalar-prefetch layout: [k0, k1, x_offset, y_offset] — the global
     # coordinates of this shard's first slab/row (0 when unsharded), so
     # parities and threefry site keys are global and sharded chains are
@@ -444,7 +485,8 @@ def _stage_kernel(key_ref, beta_ref, *refs, mu, parity, kind, n, dims,
     y_rows = eff_ly + 2 if eff_ly else dims[1]
     dims2 = (dims[0], y_rows, dims[2], dims[3] // 2)
     ctx = _LoadCtx(parity, n, slabs, refs[:-1], x, dims2,
-                   local_y=eff_ly, y0=y0)
+                   local_y=eff_ly, y0=y0,
+                   ytile_flags=ytile_flags if ytile else None)
     beta = beta_ref[0, 0]
 
     u_mu, w = _staple_W(ctx, mu)
@@ -722,24 +764,29 @@ def _stage_call_ytiled(n, dims, mu, parity, kind, k_trials, n_hit,
     X = dims[0]
     Y, ZT2 = dims[1], dims[2] * (dims[3] // 2)
     slabs = stage_slabs(mu, parity, n)
+    yflags = stage_yhalo_flags(mu, parity, n)
     yb = int(ytile)
     YB = Y // yb
     main_block = (2, n, 2, 1, yb, ZT2)
+
+    def mk_main(dx):
+        return pl.BlockSpec(
+            main_block,
+            lambda i, j, _kref, dx=dx: (0, 0, 0, (i + dx) % X, j, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     def mk_specs(dx):
         # three consecutive Y tiles of the same array (torus-wrapped):
         # Mosaic requires 8-row block granularity, so the halo windows
         # are the NEIGHBOR TILES — the kernel consumes only their edge
-        # rows (see _LoadCtx._load)
+        # rows (see _LoadCtx._load).  Only slabs the staple recipe reads
+        # with a Y shift get the triple; the rest ride as one main tile
+        # (stage_yhalo_flags — cuts operand DMAs ~2x).
         up = pl.BlockSpec(
             main_block,
             lambda i, j, _kref, dx=dx: (
                 0, 0, 0, (i + dx) % X, (j - 1) % YB, 0),
-            memory_space=pltpu.VMEM,
-        )
-        main = pl.BlockSpec(
-            main_block,
-            lambda i, j, _kref, dx=dx: (0, 0, 0, (i + dx) % X, j, 0),
             memory_space=pltpu.VMEM,
         )
         down = pl.BlockSpec(
@@ -748,14 +795,14 @@ def _stage_call_ytiled(n, dims, mu, parity, kind, k_trials, n_hit,
                 0, 0, 0, (i + dx) % X, (j + 1) % YB, 0),
             memory_space=pltpu.VMEM,
         )
-        return [up, main, down]
+        return [up, mk_main(dx), down]
 
     beta_spec = pl.BlockSpec(
         (1, 1), lambda i, j, _kref: (0, 0), memory_space=pltpu.SMEM
     )
     in_specs = [beta_spec]
-    for (_, _, dx) in slabs:
-        in_specs += mk_specs(dx)
+    for (_, _, dx), flag in zip(slabs, yflags):
+        in_specs += mk_specs(dx) if flag else [mk_main(dx)]
     out_specs = pl.BlockSpec(
         main_block, lambda i, j, _kref: (0, 0, 0, i, j, 0),
         memory_space=pltpu.VMEM,
@@ -777,7 +824,7 @@ def _stage_call_ytiled(n, dims, mu, parity, kind, k_trials, n_hit,
         _stage_kernel, mu=mu, parity=parity, kind=kind, n=n, dims=dims,
         k_trials=k_trials, n_hit=n_hit, metro_delta=metro_delta,
         rng_mode=rng_mode, slabs=slabs, local_y=0, stream_gen=None,
-        track_acc=track_acc, ytile=yb,
+        track_acc=track_acc, ytile=yb, ytile_flags=yflags,
     )
     call = pl.pallas_call(
         kern,
@@ -793,9 +840,10 @@ def _stage_call_ytiled(n, dims, mu, parity, kind, k_trials, n_hit,
         beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
         scal = jnp.concatenate([key2, jnp.zeros((2,), jnp.uint32)])
         args = []
-        for (d, par, _) in slabs:
+        for (d, par, _), flag in zip(slabs, yflags):
             arr = us[2 * d + par]
-            args += [arr, arr, arr]  # up/main/down views of one buffer
+            # up/main/down views of one buffer for Y-halo slabs
+            args += [arr, arr, arr] if flag else [arr]
         return call(scal, beta_arr, *args)
 
     return apply
