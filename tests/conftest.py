@@ -10,9 +10,14 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # AVX512 codegen tags AOT cache entries with prefer-no-gather/scatter
+    # pseudo-features the loader rejects even on the writing host, spamming
+    # feature-mismatch errors on every warm run (__graft_entry__ has the
+    # same pin); AVX2 entries load silently
+    flags = flags + " --xla_cpu_max_isa=AVX2"
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 # The image's sitecustomize imports jax at interpreter boot (axon TPU
