@@ -10,6 +10,7 @@ over a jax.sharding.Mesh.  See SURVEY.md for the reference analysis.
 
 from .config import SimConfig
 from .models.ensemble import BetaScan
+from .models.gauge import SU2PureGauge, SU3PureGauge, baseline_config
 from .sim import Simulation, cold_start, hot_start, make_chunk_runner, make_sweep_fn
 
 __version__ = "0.1.0"
@@ -18,6 +19,9 @@ __all__ = [
     "SimConfig",
     "Simulation",
     "BetaScan",
+    "SU2PureGauge",
+    "SU3PureGauge",
+    "baseline_config",
     "cold_start",
     "hot_start",
     "make_sweep_fn",

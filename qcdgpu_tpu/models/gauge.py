@@ -52,8 +52,15 @@ def baseline_config(n: int) -> SimConfig:
         return SimConfig(group=3, dims=(24, 24, 24, 6), beta=5.89,
                          algorithm="heatbath", n_or=2,
                          sweeps_therm=200, sweeps=400)
-    if n == 5:  # multi-chip SU(3) 32^4
-        return SimConfig(group=3, dims=(32, 32, 32, 32), beta=6.0,
-                         algorithm="heatbath", n_or=1, mesh=(1, 1, 2, 4),
+    if n == 5:  # multi-chip SU(3) 32^4 (BASELINE.md names v5e-8: 8 chips)
+        from ..parallel.mesh import default_mesh_shape
+
+        dims = (32, 32, 32, 32)
+        # route through the shared X/Y-major mesh policy: a hand-written
+        # Z/T mesh would silently demote an auto-engine run to the
+        # ~200x-slower XLA path (sim.resolve_engine)
+        return SimConfig(group=3, dims=dims, beta=6.0,
+                         algorithm="heatbath", n_or=1,
+                         mesh=default_mesh_shape(8, dims),
                          sweeps_therm=100, sweeps=200)
     raise ValueError(f"no baseline config #{n} (4 is the RNG parity suite)")
