@@ -477,11 +477,17 @@ def make_pallas_chunk_runner(cfg: SimConfig, interpret=False):
                 out[k + "_o"] = v
         return out
 
-    def make_stream_state0():
+    def make_stream_state0(out_shardings=None):
+        """Packed stream state 0; out_shardings (a dict matching the
+        packed-state leaves) places it straight onto a lattice mesh — the
+        sharded runner passes its word/scalar NamedShardings so big
+        sharded stream lattices never materialize state unplaced."""
         host = make_stream_state_host(stream_gen, cfg.seed, cfg.dims)
         # transfer + pack under jit: eager device ops are UNIMPLEMENTED on
         # some TPU runtimes (CLAUDE.md)
-        return jax.jit(pack_state)(host)
+        fn = (jax.jit(pack_state) if out_shardings is None
+              else jax.jit(pack_state, out_shardings=out_shardings))
+        return fn(host)
 
     def hot_start():
         """(u0, packed_state): hot start drawn from the streams in the
@@ -497,8 +503,28 @@ def make_pallas_chunk_runner(cfg: SimConfig, interpret=False):
 
         return jax.jit(go)(state0)
 
+    def hot_start_packed(out_shardings=None):
+        """(packed_us, packed_state): the packed-direct twin of
+        hot_start — the canonical complex field exists only as a
+        temporary inside one jit (split_links of the same per-stream
+        draws, so the links are bit-identical to pack(hot_start()[0])).
+        out_shardings = (link 8-tuple shardings, state-dict shardings)
+        places both straight onto a lattice mesh."""
+        from ...sim import stream_hot_start
+
+        state0, draw = make_stream(stream_gen, cfg.seed, cfg.dims)
+
+        def go(st):
+            u0, st2 = stream_hot_start(cfg, draw, st)
+            return split_links(u0), pack_state(st2)
+
+        fn = (jax.jit(go) if out_shardings is None
+              else jax.jit(go, out_shardings=out_shardings))
+        return fn(state0)
+
     run.make_stream_state0 = make_stream_state0
     run.stream_hot_start = hot_start
+    run.packed_stream_hot_start = hot_start_packed
     keys = ["words_e", "words_o"]
     if stream_gen in REF_STREAM_GENERATORS:
         scal = ("nb",) if stream_gen.startswith("ranlux") else ("c",)

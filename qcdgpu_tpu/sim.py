@@ -414,10 +414,18 @@ class Simulation:
                 )(tuple(jnp.asarray(a) for a in init_us))
         elif cfg.start == "hot":
             if self._stream is not None:
-                # runner-owned: the Pallas stream runner hot-starts in the
-                # dense layout and packs the state for its kernels
-                u0, self._rst = self._run.stream_hot_start()
-                self.u = u0
+                if hasattr(self._run, "packed_stream_hot_start"):
+                    # packed-direct (links bit-identical to the dense
+                    # path): the canonical field never materializes, and
+                    # the sharded stream runner's out_shardings place
+                    # links AND generator state straight onto the mesh
+                    us, self._rst = self._run.packed_stream_hot_start()
+                    self._us = (us, self._rst)
+                else:
+                    # runner-owned: the XLA stream runner hot-starts in
+                    # the dense layout
+                    u0, self._rst = self._run.stream_hot_start()
+                    self.u = u0
             elif hasattr(self._run, "packed_hot_start"):
                 # engine-layout direct (bit-identical: threefry site keys
                 # are layout-invariant); the canonical complex field never
