@@ -102,11 +102,14 @@ def main():
     assert 0.55 < rec["plq"] <= 1.0, rec["plq"]
 
     # --- packed checkpoint save -> load -> exact resume ------------------
-    ckpt = "/tmp/big_lattice_ckpt.npz"
+    ckpt = "/tmp/big_lattice_ckpt"  # packed saves are DIRECTORIES now
     t0 = time.perf_counter()
     sim.save(ckpt)
     rec["ckpt_save_s"] = round(time.perf_counter() - t0, 1)
-    rec["ckpt_bytes"] = os.path.getsize(ckpt)
+    rec["ckpt_bytes"] = (
+        sum(os.path.getsize(os.path.join(ckpt, f)) for f in os.listdir(ckpt))
+        if os.path.isdir(ckpt) else os.path.getsize(ckpt)
+    )
 
     # state bit-equality is certified by continuing BOTH chains: any
     # link-state difference would decohere the chaotic chains immediately.
