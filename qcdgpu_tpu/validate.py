@@ -33,7 +33,12 @@ from .sim import Simulation
 SU2_B24_PLQ = 0.6300
 SU2_WINDOW = 0.0020
 SU3_B60_PLQ = 0.5937
-SU3_WINDOW = 0.0020
+# BASELINE.md's north-star bar is 1e-4 ABSOLUTE on this plaquette; the
+# full-depth run sits at dev 2.3e-5 with err 4.2e-5 (acceptance_full.json),
+# so the systematic window is 5e-4 — tight enough that a 1.9e-3 drift can
+# no longer stamp PASS (VERDICT r3 weak #3), loose enough to absorb the
+# literature anchor's own rounding (0.5937 is quoted to 4 digits).
+SU3_WINDOW = 0.0005
 BETA_C_NT6 = 5.894  # SU(3) deconfinement coupling at N_t = 6
 
 
@@ -80,6 +85,10 @@ def check_su3(quick=False):
         "measured": {"plq": st.mean, "kp_exhaust_rate": kp_rate},
         "err": st.err, "expected": SU3_B60_PLQ,
         "tolerance": tol,
+        # which bound bit: the statistical 5-sigma arm or the systematic
+        # window (the artifact must say — VERDICT r3 #4)
+        "tolerance_bound": ("stat(5*err)" if 5 * st.err > SU3_WINDOW
+                            else f"window({SU3_WINDOW})"),
         "pass": bool(dev < tol and kp_rate < 1e-5),
     }
 
@@ -379,7 +388,8 @@ def run_validation(configs=(1, 2, 3, 4, 5, 6), quick=False, out_path=None):
         status = ("SKIP" if r["pass"] is None
                   else "PASS" if r["pass"] else "FAIL")
         print(f"[{status}] #{c} {r['name']}  ({r['seconds']}s)")
-        for k in ("measured", "err", "expected", "tolerance", "skipped"):
+        for k in ("measured", "err", "expected", "tolerance",
+                  "tolerance_bound", "skipped"):
             if k in r and r[k] is not None:
                 print(f"       {k}: {r[k]}")
     ok = all(r["pass"] is not False for r in results)
