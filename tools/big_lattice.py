@@ -136,7 +136,9 @@ def main():
     rec["resume_obs_b"] = [round(float(x), 7) for x in o_b[:, 0]]
     rec["resume_bit_equal"] = bool(np.array_equal(o_a, o_b))
     assert rec["resume_bit_equal"], (o_a, o_b)
-    os.unlink(ckpt)
+    import shutil
+
+    shutil.rmtree(ckpt) if os.path.isdir(ckpt) else os.unlink(ckpt)
 
     with open(OUT, "w") as f:
         json.dump(rec, f, indent=1)
