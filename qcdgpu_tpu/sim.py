@@ -367,6 +367,22 @@ def make_chunk_runner(cfg: SimConfig):
 # ---------------------------------------------------------------------------
 
 
+def _validate_stream_keys(run, have: set) -> None:
+    """Refuse to resume a PRNGCL checkpoint whose stream-state layout does
+    not match the resolved engine's (XLA dense vs Pallas packed states are
+    different randomness provenances — adopting the wrong one would
+    silently change the chain)."""
+    want = getattr(run, "stream_state_keys", None)
+    if want is not None and have != set(want):
+        raise ValueError(
+            "PRNGCL stream-state layout mismatch: checkpoint has "
+            f"{sorted(have)} but the resolved engine expects "
+            f"{sorted(want)} — resume with the same engine "
+            "(XLA dense vs Pallas packed states are different "
+            "randomness provenances)"
+        )
+
+
 class Simulation:
     """Owns (links, base_key, sweep counter) and drives jit-ed chunks.
 
@@ -375,7 +391,8 @@ class Simulation:
     (SURVEY.md §1 L4), with functional state underneath.
     """
 
-    def __init__(self, cfg: SimConfig, init_u=None, init_us=None):
+    def __init__(self, cfg: SimConfig, init_u=None, init_us=None,
+                 _stream_rst=None):
         self.cfg = cfg
         self.base_key = rng.make_base_key(cfg.seed)
         self._run = make_chunk_runner(cfg)
@@ -402,7 +419,17 @@ class Simulation:
             # — adopt it directly when the resolved engine runs that
             # layout (the 64^4-class path: the canonical field never
             # materializes), else reconstruct the canonical field once
-            if (self._stream is None
+            if self._stream is not None and _stream_rst is not None:
+                # packed STREAM checkpoint (links + per-site generator
+                # state in the kernel layout): validate the layout against
+                # the resolved engine before adopting — a dense-layout
+                # engine must refuse, not silently reseed
+                _validate_stream_keys(self._run, set(_stream_rst))
+                self._rst = {k: jnp.asarray(v)
+                             for k, v in _stream_rst.items()}
+                self._us = (tuple(jnp.asarray(a) for a in init_us),
+                            self._rst)
+            elif (self._stream is None
                     and hasattr(self._run, "packed_cold_start")):
                 self._us = tuple(jnp.asarray(a) for a in init_us)
             else:
@@ -652,11 +679,6 @@ class Simulation:
     def save(self, path: str):
         from .utils.checkpoint import save_state
 
-        rng_stream = None
-        if self._stream is not None:
-            rng_stream = {
-                k: np.asarray(v) for k, v in self._stream_state.items()
-            }
         if (self._stream is None and isinstance(self._us, tuple)
                 and len(self._us) == 8):
             # live engine-layout state: dump the packed f32 arrays as-is
@@ -666,6 +688,24 @@ class Simulation:
                 us=self._us,
             )
             return
+        if (self._stream is not None and isinstance(self._us, tuple)
+                and isinstance(self._us[0], tuple) and len(self._us[0]) == 8):
+            # Pallas stream engine with live packed state: dump links AND
+            # the kernel-layout generator state as-is — the canonical
+            # field never materializes (big stream lattices need this for
+            # the same HBM reason as above)
+            save_state(
+                path, self.cfg, None, self.sweep_idx, self.obs_history,
+                rng_stream={k: np.asarray(v)
+                            for k, v in self._us[1].items()},
+                us=self._us[0],
+            )
+            return
+        rng_stream = None
+        if self._stream is not None:
+            rng_stream = {
+                k: np.asarray(v) for k, v in self._stream_state.items()
+            }
         save_state(
             path, self.cfg, self.u, self.sweep_idx, self.obs_history,
             rng_stream=rng_stream,
@@ -677,24 +717,18 @@ class Simulation:
 
         cfg, u, sweep_idx, obs_history, rng_stream = load_state(path)
         if isinstance(u, tuple):
-            sim = cls(cfg, init_us=u)
+            # packed checkpoint; rng_stream present means a packed STREAM
+            # state — adopted (and layout-validated) in __init__
+            sim = cls(cfg, init_us=u, _stream_rst=rng_stream)
         else:
             sim = cls(cfg, init_u=u)
-        if sim._stream is not None:
+        if sim._stream is not None and sim._rst is None:
             if rng_stream is None:
                 raise ValueError(
                     "checkpoint has no PRNGCL stream state but the config "
                     f"runs rng_mode={cfg.rng_mode!r}; cannot resume exactly"
                 )
-            want = getattr(sim._run, "stream_state_keys", None)
-            if want is not None and set(rng_stream) != set(want):
-                raise ValueError(
-                    "PRNGCL stream-state layout mismatch: checkpoint has "
-                    f"{sorted(rng_stream)} but the resolved engine expects "
-                    f"{sorted(want)} — resume with the same engine "
-                    "(XLA dense vs Pallas packed states are different "
-                    "randomness provenances)"
-                )
+            _validate_stream_keys(sim._run, set(rng_stream))
             sim._rst = {k: jnp.asarray(v) for k, v in rng_stream.items()}
         sim.sweep_idx = sweep_idx
         sim.obs_history = obs_history

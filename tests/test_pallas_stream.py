@@ -360,3 +360,36 @@ def test_ranlux_runner_determinism_and_chunking():
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
     # physics sanity from a cold start
     assert 0.4 < np.asarray(obs_a)[-1, 0] < 0.95
+
+
+def test_packed_stream_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """Pallas stream engines checkpoint their PACKED state (links +
+    kernel-layout generator words) directly — no canonical-field
+    materialization (the same HBM argument as the 64^4 packed path) —
+    and resume continues the chain bit-exactly.  A dense-layout engine
+    must refuse the packed state, not silently reseed."""
+    import os
+
+    import qcdgpu_tpu.sim as sim_mod
+    from qcdgpu_tpu import Simulation
+
+    cfg = SimConfig(group=2, dims=DIMS, beta=2.4, seed=5,
+                    rng_mode="prngcl:xor128", reunit_every=3)
+    monkeypatch.setattr(
+        sim_mod, "make_chunk_runner",
+        lambda c: peng.make_pallas_chunk_runner(c, interpret=True))
+    sim = Simulation(cfg)
+    sim.run(2, measure_every=2)
+    p = str(tmp_path / "ck")
+    sim.save(p)
+    assert os.path.isdir(p), "packed stream state must use the dir format"
+
+    sim2 = Simulation.load(p)
+    o_a = sim.run(2, measure_every=2)
+    o_b = sim2.run(2, measure_every=2)
+    np.testing.assert_array_equal(o_a, o_b)
+
+    # the dense XLA stream engine must refuse the packed layout
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="layout mismatch"):
+        Simulation.load(p)
