@@ -53,7 +53,15 @@ def _cpu_backend_selected() -> bool:
     if not plats:
         plats = os.environ.get("JAX_PLATFORMS", "")
     first = (plats or "").split(",")[0].strip().lower()
-    return first == "cpu"
+    if first:
+        return first == "cpu"
+    # nothing configured explicitly: JAX will auto-select — resolve the
+    # backend (e.g. a plain CPU-only host) so the host-fingerprint keying
+    # still applies and foreign-host AVX AOT poisoning cannot recur
+    try:
+        return jax.default_backend() == "cpu"
+    except RuntimeError:
+        return False
 
 
 def enable_persistent_cache(path: str | None = None):

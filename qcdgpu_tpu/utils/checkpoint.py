@@ -124,14 +124,28 @@ def save_state(path, cfg: SimConfig, u, sweep_idx: int, obs_history=None,
             np.save(os.path.join(tmp, f"links_pk_{k}.npy"), np.asarray(a))
         np.savez(os.path.join(tmp, "meta.npz"),
                  layout=np.bytes_(b"packed_eo2row"), **header, **extras)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        elif os.path.exists(path):
-            os.remove(path)  # an older single-file checkpoint at this path
+        # commit-then-swap: never destroy the previous checkpoint before
+        # the new one sits at the canonical path (a crash between rmtree
+        # and replace would leave only the .tmp, which load_state ignores
+        # — these periodic saves exist precisely for crash resumability)
+        old = str(path) + ".old"
+        if os.path.isdir(old) or os.path.exists(old):
+            (shutil.rmtree if os.path.isdir(old) else os.remove)(old)
+        if os.path.isdir(path) or os.path.exists(path):
+            os.replace(path, old)
         os.replace(tmp, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        elif os.path.exists(old):
+            os.remove(old)  # an older single-file checkpoint at this path
     else:
-        np.savez_compressed(path, links_ri=links_to_host(u),
+        # atomic single-file save: numpy appends .npz when missing, so
+        # resolve the final name first, write a sibling tmp, then replace
+        final = str(path) if str(path).endswith(".npz") else str(path) + ".npz"
+        tmp = final + ".tmp.npz"
+        np.savez_compressed(tmp, links_ri=links_to_host(u),
                             **header, **extras)
+        os.replace(tmp, final)
 
 
 def load_state(path):
@@ -183,6 +197,12 @@ def _load_state_dir(path):
         version = int(z["version"])
         if version != FORMAT_VERSION:
             raise ValueError(f"unsupported checkpoint version {version}")
+        if "kind" in z.files and bytes(z["kind"]) != b"simulation":
+            raise ValueError(
+                f"not a Simulation checkpoint "
+                f"(kind={bytes(z['kind']).decode()!r}; use `scan "
+                "--resume-state` for BetaScan states)"
+            )
         cfg = SimConfig.from_dict(json.loads(bytes(z["config_json"]).decode()))
         sweep_idx = int(z["sweep_idx"])
         obs = z["obs"]
