@@ -282,6 +282,12 @@ def main():
         # parity suite; rng_mode="threefry" is the bit-reproducible mode,
         # ~30% slower)
         rng_mode="hw",
+        # Y-tiled stages (8-row tiles, dy-direct halo loads): measured
+        # FASTER than the untiled full-Y kernel even where VMEM does not
+        # force tiling — 7.18 vs 7.67 ms/sweep at 32^4 (round 5); the
+        # deeper (X, Y/8) grid overlaps operand DMA better and the
+        # load-time Y-shift assembly replaces full-Y roll relayouts
+        y_block=8,
     )
     try:
         _run(cfg, mesh, n_chips)

@@ -194,15 +194,32 @@ def hw_uniforms(n, shape):
 #           "crossing" parity; in-Z-block wrap handled like the dense case.
 
 
+def load_mat_packed_fn(fetch, n):
+    """load_mat_packed with a component source function: fetch(r, j, c)
+    returns the [rows, ZT2] array of stored row r, column j, re/im c.
+    Lets the Y-tiled kernels assemble halo-padded components BEFORE the
+    SU(3) third-row codec runs, so the cross-product reconstruction is
+    done once on the padded rows instead of once per operand tile."""
+    rows = [
+        tuple((fetch(r, j, 0), fetch(r, j, 1)) for j in range(n))
+        for r in range(2)
+    ]
+    return _codec_rows(rows, n)
+
+
 def load_mat_packed(ref, n):
     """[R, N, 2, 1, Y, ZT2]-block ref -> full N x N matrix tuple."""
     rows = [
         tuple((ref[r, j, 0, 0], ref[r, j, 1, 0]) for j in range(n))
         for r in range(2)
     ]
+    return _codec_rows(rows, n)
+
+
+def _codec_rows(rows, n):
+    """Two stored rows -> full N x N matrix (SU(3): row2 = conj(r0 x r1))."""
     if n == 2:
         return (rows[0], rows[1])
-    # SU(3): row2 = conj(row0 x row1)
     r0, r1 = rows
 
     def cx(a, b):

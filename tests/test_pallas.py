@@ -369,6 +369,40 @@ def test_y_tiled_kernels_match_untiled(u0, us):
     assert float(jnp.max(jnp.abs(r_t - r_ref))) < 1e-6
 
 
+def test_y_tiled_slim_halo_su2():
+    """yb % 8 == 0 engages the slim 8-row halo operands (halo windows
+    positioned so their edge row is the needed torus neighbor, instead of
+    whole neighbor tiles); yb=8 with Y=16 exercises 2 tiles per slab."""
+    dims = (4, 16, 2, 4)
+    cfg = _cfg(group=2, dims=dims, beta=2.4)
+    u = hot_start(cfg, rng.make_base_key(3)).astype(jnp.complex64)
+    us2 = peng.split_links(u)
+    key2 = rng.stage_key(rng.make_base_key(3), 0, 7)
+    plain = pupd.stage_update(us2, 1, 0, "heatbath", cfg.beta, key2, dims,
+                              interpret=True)
+    tiled = pupd.stage_update_ytiled(us2, 1, 0, "heatbath", cfg.beta, key2,
+                                     dims, 8, interpret=True)
+    assert float(jnp.max(jnp.abs(tiled - plain))) < 2e-5
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("yb", [8, 16])
+def test_y_tiled_slim_halo_su3(yb):
+    """SU(3) twin of the slim-halo check — also covers the codec-once
+    assembly (third-row reconstruction on the concatenated padded rows,
+    not per operand tile) at halo strides r = yb/8 of 1 and 2."""
+    dims = (4, 16, 2, 4)
+    cfg = _cfg(dims=dims)
+    u = hot_start(cfg, rng.make_base_key(3)).astype(jnp.complex64)
+    us3 = peng.split_links(u)
+    key2 = rng.stage_key(rng.make_base_key(3), 0, 7)
+    plain = pupd.stage_update(us3, 1, 0, "heatbath", cfg.beta, key2, dims,
+                              interpret=True)
+    tiled = pupd.stage_update_ytiled(us3, 1, 0, "heatbath", cfg.beta, key2,
+                                     dims, yb, interpret=True)
+    assert float(jnp.max(jnp.abs(tiled - plain))) < 2e-5
+
+
 @pytest.mark.slow
 def test_y_tiled_engine_matches_untiled(u0):
     """Full tiled chunk runner vs untiled (16 tiled stage programs: slow

@@ -393,3 +393,72 @@ def test_packed_stream_checkpoint_roundtrip(tmp_path, monkeypatch):
     monkeypatch.undo()
     with pytest.raises(ValueError, match="layout mismatch"):
         Simulation.load(p)
+
+
+@pytest.mark.parametrize("name", ["xor128", "ranlux3"])
+def test_stream_stage_ytiled_bit_identical(name):
+    """PRNGCL stream stages compose with big-lattice Y tiling (QCDGPU's
+    BIG_LATTICE mode ran with its full PRNG family — SURVEY.md §2
+    multi-device row): per-site generator state tiles alongside the links
+    with no halos.  State words and (ref-based) advanced scalars must be
+    BIT-identical to the untiled stage (integer/exact recurrences); links
+    agree to f32 rounding order only — the compiler contracts FMAs
+    differently for different block shapes (same 2e-5 bound as
+    test_y_tiled_kernels_match_untiled; every draw is identical, so any
+    larger difference is a flipped accept decision = real bug).  Covers
+    both stream families: counter-free (xor128) and ref-based lag window
+    + scalar channel (ranlux3)."""
+    cfg = SimConfig(group=2, dims=DIMS, beta=2.4, seed=7,
+                    rng_mode=f"prngcl:{name}")
+    u0 = hot_start(cfg, rng.make_base_key(3))
+    us = peng.split_links(u0)
+    packed = _packed_state(name, cfg.seed)
+    key2 = rng.stage_key(rng.make_base_key(cfg.seed), 0, 0)
+    kw = dict(k_trials=cfg.kp_trials, rng_mode=cfg.rng_mode, interpret=True,
+              stream_state=packed["words_e"])
+    if name in ps.REF_STREAM_GENERATORS:
+        dense0 = ps.make_stream_state_host(name, cfg.seed, DIMS)
+        kw["stream_scalars"] = ps.stream_kernel_scalars(
+            name, {k: jnp.asarray(v) for k, v in dense0.items()})
+    out_u = pupdate.stage_update(us, 1, 0, "heatbath", cfg.beta, key2,
+                                 DIMS, **kw)
+    out_t = pupdate.stage_update_ytiled(us, 1, 0, "heatbath", cfg.beta,
+                                        key2, DIMS, 2, **kw)
+    np.testing.assert_allclose(np.asarray(out_u[0]), np.asarray(out_t[0]),
+                               rtol=0, atol=2e-5)
+    la = jax.tree_util.tree_leaves(out_u[1:])
+    lb = jax.tree_util.tree_leaves(out_t[1:])
+    assert len(la) == len(lb) and len(la) >= 1
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_stream_engine_ytiled_matches_untiled():
+    """Full tiled chunk runner in a stream mode vs untiled: identical
+    draws, so chains agree to f32 rounding order over 2 sweeps (state
+    words exactness is covered per-stage above; here chain-level obs/links
+    get the engine-equivalence bounds).  16 tiled stage programs: slow to
+    compile, so RUN_SLOW; the per-stage twin above runs per-commit."""
+    cfg = SimConfig(group=2, dims=DIMS, beta=2.4, seed=5,
+                    rng_mode="prngcl:xor128", reunit_every=2)
+    key = rng.make_base_key(cfg.seed)
+    run_u = peng.make_pallas_chunk_runner(cfg, interpret=True)
+    st0 = (run_u.pack(hot_start(cfg, key).astype(jnp.complex64)),
+           run_u.make_stream_state0())
+    st_a, obs_a = run_u.packed(st0, key, 0, 2, 2)
+    run_t = peng.make_pallas_chunk_runner(cfg.replace(y_block=2),
+                                          interpret=True)
+    st_b, obs_b = run_t.packed(st0, key, 0, 2, 2)
+    np.testing.assert_allclose(np.asarray(obs_a), np.asarray(obs_b),
+                               rtol=0, atol=5e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st_a),
+                    jax.tree_util.tree_leaves(st_b)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f" and a.dtype.itemsize == 4 and a.ndim >= 6:
+            # link arrays: f32 rounding-order drift across block shapes,
+            # amplified through 2 sweeps of dependent stages
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-3)
+        else:
+            # generator words / scalars: exact integer recurrences
+            np.testing.assert_array_equal(a, b)
