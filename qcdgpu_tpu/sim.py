@@ -61,11 +61,22 @@ def cold_start(cfg: SimConfig):
 
 
 def hot_start(cfg: SimConfig, base_key):
-    """Disordered start: per-link random SU(N).
+    """Disordered start: per-link EXACTLY Haar-random SU(N).
 
-    Gaussian complex matrix -> Gram–Schmidt projection (det fixed to +1 by
-    the cross-product row).  Not exactly Haar, but fully disordered, which is
-    all a hot start needs (matches the role of QCDGPU's hot init kernel).
+    Gaussian complex (Ginibre) matrix -> sun.reunitarize (Gram–Schmidt on
+    the rows; SU(3) third row by conjugate cross product, SU(2) quaternion
+    projection).  This is exact Haar, not merely disordered: the Ginibre
+    distribution is invariant under right multiplication by any fixed
+    V in SU(N), and every projection step is equivariant (GS with
+    real-positive normalizers commutes with gV; (aV) x (bV) =
+    (a x b) conj(V) for det V = 1; the quaternion components of a 2x2
+    Ginibre matrix form an isotropic Gaussian on R^4, so normalizing is
+    uniform on S^3 = SU(2)).  The pushforward measure is therefore
+    right-invariant, and the invariant probability measure on SU(N) is
+    unique — Haar.  Validated against the Haar character identities
+    E[tr U] = 0, E[|tr U|^2] = 1, E[(tr U)^2] = 0 (SU(3)), E[|tr U|^4] = 2
+    in tests/test_hotstart.py.  (Matches the role of QCDGPU's hot init
+    kernel, which used per-element uniforms and was itself not Haar.)
     """
     n = cfg.group
     cdtype = _cdtype(cfg)
