@@ -29,7 +29,14 @@ import jax.numpy as jnp
 
 _F = jnp.float32
 
-# cephes logf polynomial for log(1 + t), |t| <= sqrt(2) - 1
+# cephes logf polynomial for log(1 + t), |t| <= sqrt(2) - 1.
+# A degree-4 near-minimax alternative (5 coeffs, 2.6e-6 abs ln error —
+# still 3 orders below KS-test resolution, tests/test_update.py validated
+# on it) was measured end-to-end through the production bench config in
+# round 5 and REJECTED: 7.13/7.15 ms/sweep (deg-8) vs 7.21/7.16 (deg-4)
+# over two A/B runs — the 4 FMAs x 24 ln/link are NOT the binding
+# resource in the Y-tiled kernel, so the extra accuracy is free
+# (docs/validation/sampler_study.json, tools/sampler_study.py).
 _LOG_COEF = (
     7.0376836292e-2, -1.1514610310e-1, 1.1676998740e-1, -1.2420140846e-1,
     1.4249322787e-1, -1.6668057665e-1, 2.0000714765e-1, -2.4999993993e-1,
