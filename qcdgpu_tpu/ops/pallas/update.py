@@ -726,7 +726,7 @@ def _stage_call(n, dims, mu, parity, kind, k_trials, n_hit,
     return apply
 
 
-def auto_y_block(dims, n):
+def auto_y_block(dims, n, prefer=True):
     """Pick a Y tile size for the single-chip big-lattice path, 0 = no
     tiling needed.  One stage input window is [2, n, 2, 1, Y, Z*T/2] f32;
     the kernels hold ~16 such windows double-buffered plus a multi-MB
@@ -736,8 +736,19 @@ def auto_y_block(dims, n):
     error).  Halving Y until the window fits keeps tiles row-aligned with
     the packed layout."""
     y, zt2 = dims[1], dims[2] * (dims[3] // 2)
-    if 2 * n * 2 * y * zt2 * 4 <= 2 * 1024 * 1024:  # 32^4-class: fits
-        return 0
+    window = 2 * n * 2 * y * zt2 * 4
+    if window <= 2 * 1024 * 1024:  # 32^4-class: fits VMEM
+        # Large-but-fits band: 8-row tiles measured FASTER than the
+        # untiled full-Y kernel at SU(3) 32^4 (7.24 vs 7.64 ms/sweep,
+        # round-5 tools/yb_default_check.py — the deeper (X, Y/8) grid
+        # overlaps operand DMA better), but SLOWER at 16^4 (0.765 vs
+        # 0.749 — grid overhead dominates small lattices) and SLOWER for
+        # lag-window stream generators (effective_y_block passes
+        # prefer=False for those; measurements at its docstring).  Flip
+        # to tiling only where it was measured to win: the SU(3)
+        # 32^4-class window (768 KB); SU(2) 32^4 (512 KB) and everything
+        # smaller stays untiled.
+        return 8 if (prefer and window >= 600_000 and y > 8) else 0
     # tiled windows carry 2 extra halo rows; target well under the 32^4
     # working size — at 64^4, yb=16 windows (18 rows) compile to 101 MB
     # scoped VMEM against the 100 MB limit (measured), yb=8 fits
@@ -751,11 +762,27 @@ def auto_y_block(dims, n):
 
 
 def effective_y_block(cfg, dims, n):
-    """cfg.y_block override (clamped off at >= Y) or the auto heuristic."""
+    """cfg.y_block override (clamped off at >= Y) or the auto heuristic.
+
+    Lag-window stream generators (ranlux0-4/ranmar) only tile out of
+    VMEM necessity (prefer=False): in the large-but-fits band tiling
+    measured strictly slower for them — the per-tile lag-window loads +
+    walking-pointer scalar bookkeeping repeat per grid step (ranlux3
+    23.7 vs 15.6, ranmar 12.5 vs 10.7 ms/sweep at SU(3) 32^4) — while
+    counter-free word generators tile at parity or better (xor128 9.15
+    vs 9.24, mrg32k3a 17.3 vs 20.1; perf_matrix.json round 5).
+    cfg.y_block still overrides in both directions.
+    """
     yb = int(getattr(cfg, "y_block", 0) or 0) if cfg is not None else 0
     if yb:
         return 0 if yb >= dims[1] else yb
-    return auto_y_block(dims, n)
+    mode = str(getattr(cfg, "rng_mode", "") or "") if cfg is not None else ""
+    prefer = True
+    if mode.startswith("prngcl:"):
+        from ..prng_streams import REF_STREAM_GENERATORS
+
+        prefer = mode.split(":", 1)[1] not in REF_STREAM_GENERATORS
+    return auto_y_block(dims, n, prefer=prefer)
 
 
 def _ywrap_pad(a, lo, yb, y):

@@ -423,8 +423,38 @@ def test_y_tiled_engine_matches_untiled(u0):
 def test_auto_y_block_heuristic():
     from qcdgpu_tpu.ops.pallas.update import auto_y_block
 
-    assert auto_y_block((32, 32, 32, 32), 3) == 0   # 1.5 MB window: fits
+    # 768 KB window fits VMEM, but 8-row tiling measured FASTER there
+    # (round-5 yb_default_check: 7.24 vs 7.64 ms/sweep), so the heuristic
+    # prefers it in the large-but-fits band (window >= 600 KB)
+    assert auto_y_block((32, 32, 32, 32), 3) == 8
+    # ...except when the caller opts out (PRNGCL stream modes: tiling
+    # measured strictly slower — ranlux3 23.7 vs 15.6 ms/sweep)
+    assert auto_y_block((32, 32, 32, 32), 3, prefer=False) == 0
+    # SU(2) 32^4 (512 KB) and 16^4-class windows stay untiled — tiling
+    # measured slightly SLOWER at 16^4 (grid overhead)
+    assert auto_y_block((32, 32, 32, 32), 2) == 0
+    assert auto_y_block((16, 16, 16, 16), 3) == 0
     # 6.3 MB windows -> ~1 MB padded tiles (yb=16 measured 101 MB scoped
     # VMEM vs the 100 MB limit; yb=8 fits)
     assert auto_y_block((64, 64, 64, 64), 3) == 8
     assert auto_y_block((4, 4, 2, 4), 2) == 0
+
+    # effective_y_block routes the opt-out from cfg.rng_mode: lag-window
+    # stream generators only tile out of VMEM necessity (counter-free
+    # word generators tile at parity or better); explicit cfg.y_block
+    # wins in both directions
+    from qcdgpu_tpu.config import SimConfig
+    from qcdgpu_tpu.ops.pallas.update import effective_y_block
+
+    d32 = (32, 32, 32, 32)
+    cfg_hw = SimConfig(group=3, dims=d32, beta=6.0, rng_mode="hw")
+    cfg_st = SimConfig(group=3, dims=d32, beta=6.0,
+                       rng_mode="prngcl:ranlux3")
+    assert effective_y_block(cfg_hw, d32, 3) == 8
+    assert effective_y_block(cfg_st, d32, 3) == 0
+    assert effective_y_block(cfg_st.replace(rng_mode="prngcl:ranmar"),
+                             d32, 3) == 0
+    assert effective_y_block(cfg_st.replace(rng_mode="prngcl:xor128"),
+                             d32, 3) == 8
+    assert effective_y_block(cfg_st.replace(y_block=8), d32, 3) == 8
+    assert effective_y_block(cfg_hw.replace(y_block=32), d32, 3) == 0
